@@ -1,0 +1,309 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent ANSI-SQL
+oracle that DuckDB runs on the same parquet tables (CORRECTNESS gate, see
+__spark_entry__.py). Conventions:
+
+* Every computed column is aliased identically on both sides (the driver
+  sorts columns by name before value-hashing).
+* Sums over doubles are rounded/cast to integers — Spark's partial/final
+  aggregation sums in a different order than DuckDB's sequential scan, so
+  raw double sums differ in the last ulp.
+* Queries that need duplicates/dangling refs plant them deterministically
+  inside the query (key-shifted unions / modular filters), identically on
+  both sides — the driver tables themselves are clean.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Validation-engine operators over the flat `documents` table
+# ---------------------------------------------------------------------------
+
+@query(
+    "dup_exact",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      SELECT md5(text) AS k, count(*) AS dup_count
+      FROM u GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT u.doc_id AS doc_id, g.dup_count AS dup_count
+    FROM u JOIN g ON md5(u.text) = g.k
+    """,
+)
+def dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection by content hash group (§2.2 pipeline over a
+    flat text column; planted duplicates = key-shifted union)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    u = docs.unionByName(planted)
+    keyed = u.withColumn("k", F.md5("text"))
+    groups = (
+        keyed.groupBy("k").agg(F.count("*").alias("dup_count")).where("dup_count > 1")
+    )
+    return keyed.join(groups, "k").select("doc_id", "dup_count")
+
+
+@query(
+    "stats_profile",
+    oracle="""
+    SELECT source AS source,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           count(DISTINCT lang) AS n_langs,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats block (§2.11): per-group null counts, min/max, distincts."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "referential_dangling",
+    oracle="""
+    WITH catalog AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 0)
+    SELECT l.l_suppkey AS suppkey, count(*) AS n_refs
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM catalog c WHERE c.s_suppkey = l.l_suppkey)
+    GROUP BY l.l_suppkey
+    """,
+)
+def referential_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential check (§2.3): left-anti join of refs against a catalog
+    (catalog thinned by a modular filter to plant dangling refs)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_suppkey")
+    catalog = (
+        _read(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 7 != 0)
+        .select("s_suppkey")
+    )
+    dangling = li.join(
+        F.broadcast(catalog), li.l_suppkey == catalog.s_suppkey, "left_anti"
+    )
+    return dangling.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count("*").alias("n_refs")
+    )
+
+
+@query(
+    "empty_groups",
+    oracle="""
+    WITH o AS (SELECT o_custkey FROM orders WHERE o_custkey % 13 <> 0)
+    SELECT c.c_custkey AS custkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def empty_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-directory analog (§2.10): keys present in the dimension with
+    zero rows in the fact — left-anti join (fact thinned by a modular filter
+    so the planted empty groups are deterministic and non-empty)."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 13 != 0)
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"))
+
+
+@query(
+    "group_size_bounds",
+    oracle="""
+    SELECT o_custkey AS custkey, count(*) AS n_orders,
+           CASE WHEN count(*) = 1 THEN 'one_item'
+                WHEN count(*) > 30 THEN 'many_items'
+                ELSE 'ok' END AS verdict
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) = 1 OR count(*) > 30
+    """,
+)
+def group_size_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-items / one-item directory checks (§2.10) as HAVING predicates."""
+    orders = _read(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders")
+    )
+    return g.where((F.col("n_orders") == 1) | (F.col("n_orders") > 30)).select(
+        "custkey",
+        "n_orders",
+        F.when(F.col("n_orders") == 1, "one_item")
+        .when(F.col("n_orders") > 30, "many_items")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic relational operators (coverage of the Spark surface vs oracle)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
+           CAST(ROUND(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+           CAST(ROUND(sum(l_extendedprice), 0) AS BIGINT) AS sum_base_price,
+           CAST(ROUND(sum(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style scan+filter+agg (filter pushed to parquet, partial agg)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).cast("long").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+            .cast("long")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT custkey, o_orderkey AS orderkey, rk
+    FROM (
+      SELECT o_custkey AS custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window (deterministic tie-break on orderkey)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS BIGINT) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: big-big sort-merge + small-dim broadcasts."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+            .cast("long")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id AS user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag window + gap threshold + per-user aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # ts is TIMESTAMP_NTZ in the driver parquet; session TZ is pinned to UTC
+    # so the epoch-seconds conversion matches DuckDB's naive interval math
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev_secs = prev.cast("timestamp").cast("long")
+    new_session = (prev.isNull() | (secs - prev_secs > 30 * 60)).cast("long")
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )

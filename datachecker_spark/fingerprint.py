@@ -1,0 +1,103 @@
+"""Canonical content fingerprints for interleaved span documents.
+
+The reference's duplicate pipeline hashes file content chunk-by-chunk with
+BLAKE3 (`/root/reference/src/modules/core.zig:380-410`); here the "content" of
+a document is its span sequence in logical `offset` order, independent of the
+storage order of the array. The fingerprint is therefore computed over an
+offset-sorted projection of (kind, text, media_ref) — never over the raw
+array — using the JVM-side `xxhash64` so the whole computation stays inside
+whole-stage codegen (no Python).
+
+Null vs empty-string must not collide (the reference treats absence as a
+distinct error branch), so each field is coalesced to a sentinel that cannot
+appear in real text before concatenation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NULL_SENTINEL = "\x00N"
+FIELD_SEP = "\x01"
+SPAN_SEP = "\x02"
+
+
+def ordered_spans(spans: Column | str = "spans") -> Column:
+    """Spans sorted by logical offset, storage order discarded.
+
+    Implemented by lifting `offset` to the first struct field and using the
+    natural (field-lexicographic) ordering of `array_sort` — pure Catalyst,
+    codegen-friendly, no comparator lambda needed.
+    """
+    c = F.col(spans) if isinstance(spans, str) else spans
+    lifted = F.transform(
+        c,
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    return F.transform(
+        F.array_sort(lifted),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+
+
+def canonical_string(spans: Column | str = "spans") -> Column:
+    """Deterministic serialization of the ordered span sequence.
+
+    (kind, text, media_ref) per span, fields joined by FIELD_SEP, spans by
+    SPAN_SEP, nulls mapped to NULL_SENTINEL. `offset` itself is excluded:
+    two documents whose spans read identically in order are duplicates even
+    if their absolute offsets differ (order is the invariant, per the
+    BASELINE input_hint: span-sequence equality on kind/text/media_ref/order).
+    """
+    return F.array_join(
+        F.transform(
+            ordered_spans(spans),
+            lambda s: F.concat_ws(
+                FIELD_SEP,
+                F.coalesce(s["kind"], F.lit(NULL_SENTINEL)),
+                F.coalesce(s["text"], F.lit(NULL_SENTINEL)),
+                F.coalesce(s["media_ref"], F.lit(NULL_SENTINEL)),
+            ),
+        ),
+        SPAN_SEP,
+    )
+
+
+def fingerprint(spans: Column | str = "spans") -> Column:
+    """64-bit content fingerprint: xxhash64 of the canonical string.
+
+    xxhash64 is the engine's canonical algorithm (built-in, codegen'd).
+    Collisions are possible at 2^-64; exact-duplicate confirmation therefore
+    re-checks span-sequence equality inside each fingerprint group (see
+    constraints/duplicates.py), mirroring the reference's byte-exact
+    clustering stage (`/root/reference/src/modules/duplicate_files/core.zig:67-94`).
+    """
+    return F.xxhash64(canonical_string(spans))
+
+
+def doc_size(spans: Column | str = "spans") -> Column:
+    """Total text length of a document (the analog of file size).
+
+    Media spans contribute 0 (their payload lives behind media_ref)."""
+    c = F.col(spans) if isinstance(spans, str) else spans
+    return F.aggregate(
+        c,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)).cast("long"),
+    )
+
+
+def span_count(spans: Column | str = "spans") -> Column:
+    c = F.col(spans) if isinstance(spans, str) else spans
+    return F.size(c)
