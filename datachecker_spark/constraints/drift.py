@@ -1,0 +1,234 @@
+"""Distribution-drift checks between partitions (SURVEY.md §2.11 gap-fill).
+
+Each partition is tested against a ROBUST BASELINE: the per-value (or
+per-bucket) median of all partitions' proportions. Testing part-vs-pooled-rest
+is the textbook two-sample formulation, but one heavily drifted partition
+contaminates the pool and makes clean partitions look drifted; the median
+baseline is unaffected by a minority of bad partitions, so the check flags
+exactly the drifted ones (the FIXTURES drift contract: "fails exactly for the
+shifted pair, passes A-vs-A").
+
+* categorical: chi-square goodness-of-fit of each partition's histogram
+  against the normalized median histogram.
+* numeric: Kolmogorov-Smirnov distance of each partition's ECDF (on a global
+  approximate-quantile grid) against the per-bucket median ECDF.
+
+Everything is Spark SQL over tiny aggregates — histograms via groupBy, the
+median over the (n_parts × n_values) proportions table, and significance via
+closed-form critical values (Wilson-Hilferty for the chi-square quantile,
+c(α)/sqrt(n) for one-sample KS). No scipy, no Python in the data path: at
+10^12 docs the full-scan reduction (one groupBy) is the only heavy stage and
+it stays JVM-side with partial aggregation; all statistics run on the small
+aggregate.
+
+The KS grid is computed once with percentile_approx and inlined as a plan
+constant (the analog of the reference sampling "now" once at startup,
+src/main.zig:399-403).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datachecker_spark.contract import SEV_WARNING, VIOLATION_COLS
+
+CHECK_CHI2 = "drift_chi2"
+CHECK_KS = "drift_ks"
+
+def _norm_ppf(p: float) -> float:
+    """Inverse standard-normal CDF — Acklam's rational approximation
+    (public algorithm, |rel err| < 1.15e-9). Pure Python; no scipy needed."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    import math
+
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if p > phigh:
+        return -_norm_ppf(1 - p)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+
+
+def _ks_c(alpha: float) -> float:
+    """Asymptotic one-sample KS critical coefficient: c(α) = sqrt(-ln(α/2)/2)."""
+    import math
+
+    return math.sqrt(-0.5 * math.log(alpha / 2))
+
+
+def _wilson_hilferty_crit(dof: Column, alpha: float) -> Column:
+    """Approximate chi-square upper-α quantile for `dof` degrees of freedom."""
+    z = -_norm_ppf(alpha)
+    k = dof.cast("double")
+    inner = 1.0 - 2.0 / (9.0 * k) + z * F.sqrt(F.lit(2.0) / (9.0 * k))
+    return k * F.pow(inner, 3)
+
+
+def chi_square_drift(
+    docs: DataFrame,
+    value: Column | str,
+    *,
+    alpha: float = 0.01,
+    bonferroni: bool = True,
+) -> DataFrame:
+    """Per-partition chi-square goodness-of-fit vs the median histogram.
+
+    bonferroni=True divides α by the number of partitions — testing every
+    partition at per-test α flags ~α·n_parts clean partitions by chance;
+    the family-wise correction keeps the false-alarm rate at α overall.
+    (Costs one tiny count() over the already-aggregated parts table.)
+    Returns (part, stat, dof, crit, drifted).
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    obs = docs.select("part", val.alias("v")).groupBy("part", "v").agg(
+        F.count("*").alias("a")
+    )
+    parts = obs.groupBy("part").agg(F.sum("a").alias("n_part"))
+    values = obs.select("v").distinct()
+    # dense part×value grid: absent cells are real zeros in the test
+    dense = (
+        parts.crossJoin(values).join(obs, ["part", "v"], "left").fillna({"a": 0})
+    )
+    dense = dense.withColumn("prop", F.col("a") / F.col("n_part"))
+    # robust baseline: median proportion per value, renormalized to sum 1
+    med = dense.groupBy("v").agg(F.median("prop").alias("m"))
+    med_norm = med.crossJoin(F.broadcast(med.agg(F.sum("m").alias("msum"))))
+    baseline = med_norm.select("v", (F.col("m") / F.col("msum")).alias("p_base"))
+    g = dense.join(F.broadcast(baseline), "v")
+    # continuity floor keeps zero-median cells from exploding the statistic
+    e = F.greatest(F.col("p_base") * F.col("n_part"), F.lit(0.5))
+    contrib = (F.col("a") - e) ** 2 / e
+    per_part = (
+        g.withColumn("_c", contrib)
+        .groupBy("part")
+        .agg(
+            F.sum("_c").alias("stat"),
+            (F.count("*") - 1).alias("dof"),
+            F.min("n_part").alias("n_part"),
+        )
+    )
+    alpha_eff = alpha / max(parts.count(), 1) if bonferroni else alpha
+    crit = _wilson_hilferty_crit(F.greatest(F.col("dof"), F.lit(1)), alpha_eff)
+    return per_part.select(
+        "part",
+        F.round("stat", 6).alias("stat"),
+        "dof",
+        F.round(crit, 6).alias("crit"),
+        (F.col("stat") > crit).alias("drifted"),
+    )
+
+
+def ks_drift(
+    docs: DataFrame,
+    value: Column | str,
+    *,
+    alpha: float = 0.01,
+    grid_size: int = 128,
+    bonferroni: bool = True,
+) -> DataFrame:
+    """Per-partition approximate KS vs the median ECDF across partitions.
+    bonferroni: family-wise α correction across partitions (see chi_square_drift).
+
+    ECDFs are evaluated on a global percentile_approx grid (grid_size cut
+    points), so the statistic is exact on the grid — a lower bound of the
+    true KS with resolution ~1/grid_size, which is what matters for drift
+    flagging at scale. Returns (part, ks, n_part, crit, drifted).
+    """
+    val = (F.col(value) if isinstance(value, str) else value).cast("double")
+    base = docs.select("part", val.alias("x")).where(F.col("x").isNotNull())
+    probs = [i / grid_size for i in range(1, grid_size)]
+    grid_row = base.agg(F.percentile_approx("x", probs, 10_000).alias("g")).collect()[0]
+    cuts = sorted(set(grid_row["g"]))
+    grid_lit = F.array(*[F.lit(float(c)) for c in cuts])
+    # bucket = number of cut points <= x  (0..len(cuts)); O(|grid|) JVM-side
+    bucket = F.size(F.filter(grid_lit, lambda gv: gv <= F.col("x")))
+    counts = base.select("part", bucket.alias("b")).groupBy("part", "b").agg(
+        F.count("*").alias("c")
+    )
+    parts = counts.groupBy("part").agg(F.sum("c").alias("n_part"))
+    buckets = counts.select("b").distinct()
+    dense = (
+        parts.crossJoin(buckets)
+        .join(counts, ["part", "b"], "left")
+        .fillna({"c": 0})
+    )
+    wp = W.partitionBy("part").orderBy("b")
+    dense = dense.withColumn("ecdf", F.sum("c").over(wp) / F.col("n_part"))
+    med = dense.groupBy("b").agg(F.median("ecdf").alias("ecdf_base"))
+    per_part = (
+        dense.join(F.broadcast(med), "b")
+        .withColumn("_d", F.abs(F.col("ecdf") - F.col("ecdf_base")))
+        .groupBy("part")
+        .agg(F.max("_d").alias("ks"), F.min("n_part").alias("n_part"))
+    )
+    alpha_eff = alpha / max(parts.count(), 1) if bonferroni else alpha
+    crit = F.lit(_ks_c(alpha_eff)) / F.sqrt(F.col("n_part").cast("double"))
+    return per_part.select(
+        "part",
+        F.round("ks", 6).alias("ks"),
+        "n_part",
+        F.round(crit, 6).alias("crit"),
+        (F.col("ks") > crit).alias("drifted"),
+    )
+
+
+def check_drift(
+    docs: DataFrame,
+    categorical: Column | str | None = None,
+    numeric: Column | str | None = None,
+    *,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Violations (doc_id NULL, partition-scoped) for drifted partitions."""
+    spark = docs.sparkSession
+    outs = []
+
+    def v(df: DataFrame, check: str, detail) -> DataFrame:
+        return df.select(
+            F.lit(check).alias("check"),
+            F.lit(SEV_WARNING).alias("severity"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.col("part").cast("string").alias("part"),
+            detail.alias("detail"),
+        ).select(*VIOLATION_COLS)
+
+    if categorical is not None:
+        chi = chi_square_drift(docs, categorical, alpha=alpha).where("drifted")
+        outs.append(
+            v(chi, CHECK_CHI2, F.format_string("chi2=%s > crit=%s (dof=%d)",
+                                               F.col("stat").cast("string"),
+                                               F.col("crit").cast("string"),
+                                               F.col("dof")))
+        )
+    if numeric is not None:
+        ks = ks_drift(docs, numeric, alpha=alpha).where("drifted")
+        outs.append(
+            v(ks, CHECK_KS, F.format_string("ks=%s > crit=%s (n=%d)",
+                                            F.col("ks").cast("string"),
+                                            F.col("crit").cast("string"),
+                                            F.col("n_part")))
+        )
+    if not outs:
+        from datachecker_spark.contract import empty_violations
+
+        return empty_violations(spark)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

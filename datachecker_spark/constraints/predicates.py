@@ -1,0 +1,241 @@
+"""Stateless per-document predicate checks — pure Column expressions, all
+inside whole-stage codegen (SURVEY.md §2.5-2.9).
+
+Reference analogs:
+  name rules            src/modules/stats.zig:25-63 (doubled chars),
+                        :219-239 (length), :242-287 (unportable chars)
+  temp/useless tags     src/modules/useless.zig (ext map, exact names,
+                        prefix/suffix pairs, path fragments)
+  legacy formats        src/modules/useless.zig:195-318
+  magic-number mismatch src/modules/magic_numbers.zig:205-256 → declared
+                        `kind` vs content prefix consistency
+  JSON validity         src/modules/parser.zig:15-43 → from_json null test
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datachecker_spark.contract import SEV_ERROR, SEV_WARNING, as_violations
+
+# --- name rules -------------------------------------------------------------
+
+CHECK_NAME_RULES = "name_rules"
+CHECK_NAME_LEN = "name_length"
+MAX_NAME_LEN = 200  # MAX_DIR_FILE_NAME_SIZE analog (config defaults)
+
+# doubled separators anywhere (rule c of stats.zig:53-60)
+_DOUBLED = r"(  |--|__|\.\.)"
+# repeated final extension, file.json.json (rule b, stats.zig:38-47)
+_DUP_EXT = r"\.([A-Za-z0-9]+)\.\1$"
+# forbidden filesystem chars + control chars (stats.zig:242-287)
+_UNPORTABLE = '[<>:"|?*\\x00-\\x1f]'
+_RESERVED = (
+    ["CON", "PRN", "AUX", "NUL"]
+    + [f"COM{i}" for i in range(1, 10)]
+    + [f"LPT{i}" for i in range(1, 10)]
+)
+
+
+def name_violation_reason(name: Column) -> Column:
+    """First matching rule name, else NULL. One expression, one scan."""
+    stem = F.regexp_replace(name, r"\.[^.]*$", "")  # name minus final extension
+    return (
+        F.when(F.regexp_like(name, F.lit(_DOUBLED)), F.lit("doubled_chars"))
+        .when(F.regexp_like(name, F.lit(_DUP_EXT)), F.lit("duplicate_extension"))
+        .when(F.regexp_like(name, F.lit(_UNPORTABLE)), F.lit("unportable_chars"))
+        .when(F.upper(stem).isin(_RESERVED), F.lit("reserved_name"))
+        .when(F.regexp_like(name, F.lit(r"[. ]$")), F.lit("trailing_dot_or_space"))
+        .otherwise(F.lit(None))
+    )
+
+
+def check_doc_names(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    flagged = docs.select(
+        "doc_id", "part", name_violation_reason(F.col(id_col)).alias("_reason")
+    ).where(F.col("_reason").isNotNull())
+    return as_violations(
+        flagged, CHECK_NAME_RULES, SEV_WARNING, F.concat(F.lit("name rule: "), F.col("_reason"))
+    )
+
+
+def check_name_length(
+    docs: DataFrame, id_col: str = "doc_id", max_len: int = MAX_NAME_LEN
+) -> DataFrame:
+    flagged = docs.where(F.length(id_col) > max_len)
+    detail = F.format_string("name length %d > %d", F.length(id_col), F.lit(max_len))
+    return as_violations(flagged, CHECK_NAME_LEN, SEV_WARNING, detail)
+
+
+# --- temp / legacy media_ref tags --------------------------------------------
+
+CHECK_TEMP = "temp_refs"
+CHECK_LEGACY = "legacy_refs"
+
+TEMP_EXTENSIONS = [
+    ".tmp", ".temp", ".bak", ".log", ".old", ".swp", ".swo", ".pyc", ".pyo",
+    ".o", ".obj", ".cache", ".crdownload", ".partial", ".part", ".dmp",
+    ".chk", ".orig", ".rej", ".lock",
+]
+TEMP_EXACT_NAMES = [".DS_Store", "Thumbs.db", "desktop.ini", "ehthumbs.db"]
+TEMP_PATH_FRAGMENTS = [
+    "node_modules/", "/tmp/", "__pycache__", ".git/objects/tmp_", "~$",
+    ".Trash/", ".cache/",
+]
+# legacy format → description (broadcast dimension; subset of the reference's
+# 106-entry map, same shape)
+LEGACY_FORMATS = {
+    ".doc": "Microsoft Word 97-2003",
+    ".xls": "Microsoft Excel 97-2003",
+    ".ppt": "Microsoft PowerPoint 97-2003",
+    ".wav": "Waveform audio (uncompressed)",
+    ".bmp": "Windows bitmap (uncompressed)",
+    ".arj": "ARJ archive",
+    ".zoo": "Zoo archive",
+    ".lzh": "LHA archive",
+    ".rm": "RealMedia",
+    ".fla": "Macromedia Flash source",
+    ".swf": "Shockwave Flash",
+    ".wpd": "WordPerfect document",
+    ".tga": "Truevision TGA image",
+    ".pcx": "PC Paintbrush image",
+    ".mid": "MIDI sequence",
+}
+
+
+def _basename(ref: Column) -> Column:
+    return F.element_at(F.split(ref, "/"), -1)
+
+
+def _ext(ref: Column) -> Column:
+    """Lowercased final extension including the dot, '' if none."""
+    base = _basename(ref)
+    return F.when(
+        F.regexp_like(base, F.lit(r"\.[^.]+$")),
+        F.lower(F.regexp_extract(base, r"(\.[^.]+)$", 1)),
+    ).otherwise(F.lit(""))
+
+
+def ref_rows(docs: DataFrame) -> DataFrame:
+    refs = F.filter(
+        F.col("spans"), lambda s: (s["kind"] == "media") & s["media_ref"].isNotNull()
+    )
+    return docs.select(
+        "doc_id", "part",
+        F.explode(F.transform(refs, lambda s: s["media_ref"])).alias("ref"),
+    )
+
+
+def check_temp_refs(docs: DataFrame) -> DataFrame:
+    """WARNING per media_ref that looks like a temp/useless artifact."""
+    r = ref_rows(docs)
+    ref, base, ext = F.col("ref"), _basename(F.col("ref")), _ext(F.col("ref"))
+    frag = F.lit(False)
+    for f in TEMP_PATH_FRAGMENTS:
+        frag = frag | ref.contains(f)
+    cond = ext.isin(TEMP_EXTENSIONS) | base.isin(TEMP_EXACT_NAMES) | frag
+    flagged = r.where(cond)
+    return as_violations(
+        flagged, CHECK_TEMP, SEV_WARNING, F.concat(F.lit("temp/useless ref: "), ref)
+    )
+
+
+def check_legacy_refs(docs: DataFrame) -> DataFrame:
+    """WARNING per media_ref in a legacy format; description from a broadcast
+    dimension join (the reference's ext→description map, useless.zig:195-306)."""
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        list(LEGACY_FORMATS.items()), ["ext", "description"]
+    )
+    r = ref_rows(docs).withColumn("ext", _ext(F.col("ref")))
+    flagged = r.join(F.broadcast(dim), "ext", "inner")
+    detail = F.format_string("legacy format %s (%s): %s", F.col("ext"), F.col("description"), F.col("ref"))
+    return as_violations(flagged, CHECK_LEGACY, SEV_WARNING, detail)
+
+
+# --- declared-kind vs content consistency (magic numbers) ---------------------
+
+CHECK_KIND = "kind_consistency"
+ALLOWED_KINDS = ["text", "media", "json"]
+
+# content prefix → format it implies (the engine's magic-number table; byte
+# signatures from public file-format specs, expressed over span text)
+MAGIC_PREFIXES = [
+    ("%PDF", "pdf"),
+    ("\x89PNG", "png"),
+    ("GIF87a", "gif"),
+    ("GIF89a", "gif"),
+    ("\xff\xd8\xff", "jpeg"),
+    ("PK\x03\x04", "zip"),
+    ("ID3", "mp3"),
+    ("RIFF", "riff"),
+    ("\x7fELF", "elf"),
+    ("MZ", "exe"),
+    ("<!DOCTYPE html", "html"),
+    ("<html", "html"),
+    ("BZh", "bzip2"),
+    ("\x1f\x8b", "gzip"),
+]
+
+
+def check_kind_consistency(docs: DataFrame) -> DataFrame:
+    """ERROR when a span's declared kind contradicts its content:
+
+    * kind not in the allowed set (the reference's pipes/sockets WARNING,
+      stats.zig:104-108 — here schema drift);
+    * text/json span whose content starts with a binary-format magic prefix
+      (declared text, actually media — magic_numbers.zig check inverted);
+    * media span carrying inline text, or text span carrying a media_ref
+      (structural contradiction).
+    """
+    s = docs.select(
+        "doc_id", "part", F.posexplode("spans").alias("pos", "span")
+    ).select("doc_id", "part", "pos", "span.*")
+
+    implied = F.lit(None).cast("string")
+    for prefix, fmt in reversed(MAGIC_PREFIXES):
+        implied = F.when(
+            F.col("text").startswith(prefix), F.lit(fmt)
+        ).otherwise(implied)
+    s = s.withColumn("_implied", implied)
+
+    bad_kind = ~F.col("kind").isin(ALLOWED_KINDS) | F.col("kind").isNull()
+    text_is_binary = F.col("kind").isin("text", "json") & F.col("_implied").isNotNull() & ~F.col("_implied").isin("html")
+    media_has_text = (F.col("kind") == "media") & F.col("text").isNotNull()
+    text_has_ref = (F.col("kind") == "text") & F.col("media_ref").isNotNull()
+
+    reason = (
+        F.when(bad_kind, F.format_string("span %d: unknown kind '%s'", F.col("pos"), F.col("kind")))
+        .when(text_is_binary, F.format_string("span %d: declared %s but content is %s", F.col("pos"), F.col("kind"), F.col("_implied")))
+        .when(media_has_text, F.format_string("span %d: media span carries inline text", F.col("pos")))
+        .when(text_has_ref, F.format_string("span %d: text span carries media_ref", F.col("pos")))
+        .otherwise(F.lit(None))
+    )
+    flagged = s.withColumn("_reason", reason).where(F.col("_reason").isNotNull())
+    return as_violations(flagged, CHECK_KIND, SEV_ERROR, F.col("_reason"))
+
+
+# --- JSON span validity -------------------------------------------------------
+
+CHECK_JSON = "json_validity"
+
+
+def check_json_spans(docs: DataFrame) -> DataFrame:
+    """ERROR per document with an unparseable json span. A span participates
+    if kind='json' OR its text starts with '{'. Validity = from_json against
+    an open map schema returns non-null (the reference parses the whole file
+    and flags parse failure, parser.zig:15-43). Built-in, no UDF."""
+    s = docs.select("doc_id", "part", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id", "part", "pos", "span.*"
+    )
+    jsonish = (F.col("kind") == "json") | (
+        (F.col("kind") == "text") & F.col("text").startswith("{")
+    )
+    cand = s.where(jsonish & F.col("text").isNotNull())
+    parsed = cand.withColumn(
+        "_parsed", F.from_json(F.col("text"), "map<string,string>")
+    )
+    flagged = parsed.where(F.col("_parsed").isNull())
+    detail = F.format_string("span %d: invalid JSON payload", F.col("pos"))
+    return as_violations(flagged, CHECK_JSON, SEV_ERROR, detail)
