@@ -30,6 +30,8 @@ from datachecker_spark.contract import SEV_CHECK, SEV_ERROR, VIOLATION_COLS
 from datachecker_spark.fingerprint import canonical_string, fingerprint
 
 CHECK_NAME = "integrity"
+CHECK_MISSING = "integrity_missing"
+GLOBAL_PART = "__global__"  # corpus-level violations carry this pseudo-partition
 
 SUPPORTED_ALGOS = ("xxhash64", "sha256")
 
@@ -45,19 +47,43 @@ def computed_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
+def check_missing_expectations(docs: DataFrame, expected: DataFrame) -> DataFrame:
+    """ERROR per expectation whose doc_id is absent from the corpus (the
+    reference's FileNotFound branch, integrity.zig:163-170).
+
+    This is a CORPUS-level check: the expectation table spans all partitions,
+    so 'missing' is only decidable against the full document set — run it
+    over the whole input, never a partition batch. Only doc_id is read from
+    docs (column pruning keeps span payloads out of the scan)."""
+    missing = expected.select("doc_id", "algo").join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    )
+    return missing.select(
+        F.lit(CHECK_MISSING).alias("check"),
+        F.lit(SEV_ERROR).alias("severity"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(GLOBAL_PART).alias("part"),
+        F.format_string("expected %s hash but document missing", F.col("algo")).alias(
+            "detail"
+        ),
+    ).select(*VIOLATION_COLS)
+
+
 def verify_integrity(
-    docs: DataFrame, expected: DataFrame
+    docs: DataFrame, expected: DataFrame, *, include_missing: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (violations, write_back).
 
-    violations: ERROR rows for hash mismatches and for expectations whose
-    doc_id is absent from `docs`, CHECK rows for create-semantics entries.
+    violations: ERROR rows for hash mismatches (plus, when include_missing,
+    corpus-level rows for expectations whose doc_id is absent — see
+    check_missing_expectations), CHECK rows for create-semantics entries.
     write_back: (doc_id, algo, expected_hash=computed) rows the caller merges
     into the expectation table (the reference writes the sidecar in place).
     """
     comp = computed_hashes(docs)
     exp = expected.select("doc_id", "algo", "expected_hash")
-    j = exp.join(comp, "doc_id", "left")
+    join_type = "left" if include_missing else "inner"
+    j = exp.join(comp, "doc_id", join_type)
     computed = (
         F.when(F.col("algo") == "xxhash64", F.col("xxhash64"))
         .when(F.col("algo") == "sha256", F.col("sha256"))
@@ -65,7 +91,6 @@ def verify_integrity(
     )
     j = j.withColumn("_computed", computed)
 
-    missing = j.where(F.col("_computed").isNull() & F.col("xxhash64").isNull())
     create = j.where(
         F.col("xxhash64").isNotNull()
         & (F.col("expected_hash").isNull() | (F.col("expected_hash") == ""))
@@ -86,22 +111,20 @@ def verify_integrity(
             detail.alias("detail"),
         ).select(*VIOLATION_COLS)
 
-    violations = (
-        v(missing, SEV_ERROR, F.format_string("expected %s hash but document missing", F.col("algo")))
-        .unionByName(
-            v(
-                mismatch,
-                SEV_ERROR,
-                F.format_string(
-                    "%s mismatch: expected=%s computed=%s",
-                    F.col("algo"),
-                    F.col("expected_hash"),
-                    F.col("_computed"),
-                ),
-            )
-        )
-        .unionByName(v(create, SEV_CHECK, F.format_string("created %s fingerprint", F.col("algo"))))
+    violations = v(
+        mismatch,
+        SEV_ERROR,
+        F.format_string(
+            "%s mismatch: expected=%s computed=%s",
+            F.col("algo"),
+            F.col("expected_hash"),
+            F.col("_computed"),
+        ),
+    ).unionByName(
+        v(create, SEV_CHECK, F.format_string("created %s fingerprint", F.col("algo")))
     )
+    if include_missing:
+        violations = violations.unionByName(check_missing_expectations(docs, expected))
     write_back = create.select(
         "doc_id", "algo", F.col("_computed").alias("expected_hash")
     )

@@ -1,0 +1,320 @@
+"""Suite runner: evaluate every enabled constraint over ONE cached scan,
+emit violations + per-partition metrics, checkpoint completed partitions to a
+lineage table, and resume by excluding completed partitions from the scan.
+
+This is the engine's analog of the reference's `core.run()` fixed-order
+dispatcher + stat cache (/root/reference/src/modules/core.zig:197-241): the
+reference walks the tree once and reuses the stat map across 21 checks; here
+the docs DataFrame is persisted once and every constraint family reads the
+cached relation — Catalyst collapses the shared projections, and each family
+is otherwise an independent job over the same cache.
+
+Resume contract (SURVEY.md §7 step 7 / FIXTURES "resume" family): lineage
+rows (run_id, part, check, status, violation_count, docs_scanned,
+completed_at) are written only AFTER the violations/metrics for those
+partitions are durably written (write-then-commit ordering) — a crashed run
+re-processes its last batch instead of losing it. On start, completed parts
+are anti-joined out of the scan as a plan-level filter, which on a real
+Iceberg table becomes partition pruning (completed partitions are never read).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from datachecker_spark import io as tio
+from datachecker_spark.constraints import (
+    confidential,
+    diraggs,
+    drift,
+    duplicates,
+    integrity,
+    predicates,
+    referential,
+    stats,
+    uniqueness,
+)
+from datachecker_spark.contract import metrics_from_violations
+
+
+@dataclass
+class SuiteConfig:
+    """Declarative constraint-suite spec — the analog of the reference's
+    config.json (src/config.zig:38-80). Toggles + thresholds + patterns."""
+
+    duplicates: bool = True
+    unique_ids: bool = True
+    empty_docs: bool = True
+    large_docs: bool = True
+    large_doc_size: int = stats.DEFAULT_LARGE_DOC_SIZE
+    name_rules: bool = True
+    name_length: bool = True
+    max_name_len: int = predicates.MAX_NAME_LEN
+    temp_refs: bool = True
+    legacy_refs: bool = True
+    kind_consistency: bool = True
+    json_spans: bool = True
+    confidential: bool = True
+    confidential_patterns: list[str] = field(
+        default_factory=lambda: list(confidential.DEFAULT_PATTERNS)
+    )
+    referential: bool = True
+    integrity: bool = True
+    # corpus-level missing-doc branch of integrity (expectation table spans
+    # all partitions → only decidable against the full document set)
+    integrity_missing: bool = True
+    partition_sizes: bool = True
+    max_items_per_partition: int = diraggs.DEFAULT_MAX_ITEMS
+    drift: bool = True
+    drift_alpha: float = 0.01
+    n_salts: int = 64
+
+    # checks whose verdicts depend on the WHOLE corpus, not one partition:
+    # a duplicate group or repeated doc_id can span partitions, and drift
+    # compares partitions against each other. These cannot be resumed
+    # per-partition — run_with_lineage recomputes them over the full input.
+    GLOBAL_FIELDS = (
+        "duplicates", "unique_ids", "drift", "partition_sizes", "integrity_missing",
+    )
+
+    def local_only(self) -> "SuiteConfig":
+        import dataclasses
+
+        return dataclasses.replace(
+            self, **{f: False for f in self.GLOBAL_FIELDS}
+        )
+
+    def global_only(self) -> "SuiteConfig":
+        import dataclasses
+
+        off = {
+            f.name: False
+            for f in dataclasses.fields(self)
+            if f.type == "bool" and f.name not in self.GLOBAL_FIELDS
+        }
+        return dataclasses.replace(self, **off)
+
+    def enabled_checks(self) -> list[str]:
+        names = []
+        if self.duplicates:
+            names.append(duplicates.CHECK_NAME)
+        if self.unique_ids:
+            names.append(uniqueness.CHECK_NAME)
+        if self.empty_docs:
+            names.append(stats.CHECK_EMPTY)
+        if self.large_docs:
+            names.append(stats.CHECK_LARGE)
+        if self.name_rules:
+            names.append(predicates.CHECK_NAME_RULES)
+        if self.name_length:
+            names.append(predicates.CHECK_NAME_LEN)
+        if self.temp_refs:
+            names.append(predicates.CHECK_TEMP)
+        if self.legacy_refs:
+            names.append(predicates.CHECK_LEGACY)
+        if self.kind_consistency:
+            names.append(predicates.CHECK_KIND)
+        if self.json_spans:
+            names.append(predicates.CHECK_JSON)
+        if self.confidential:
+            names.append(confidential.CHECK_NAME)
+        if self.referential:
+            names.append(referential.CHECK_NAME)
+        if self.integrity:
+            names.append(integrity.CHECK_NAME)
+        if self.integrity_missing:
+            names.append(integrity.CHECK_MISSING)
+        if self.partition_sizes:
+            names += [diraggs.CHECK_MANY_ITEMS, diraggs.CHECK_ONE_ITEM, diraggs.CHECK_EMPTY_PART]
+        if self.drift:
+            names += [drift.CHECK_CHI2, drift.CHECK_KS]
+        return names
+
+
+@dataclass
+class SuiteResult:
+    violations: DataFrame
+    metrics: DataFrame
+    profile: DataFrame
+    write_back: DataFrame | None  # integrity create-semantics rows
+
+
+def run_suite(
+    docs: DataFrame,
+    *,
+    media_catalog: DataFrame | None = None,
+    expected_fingerprints: DataFrame | None = None,
+    expected_parts: DataFrame | None = None,
+    config: SuiteConfig | None = None,
+) -> SuiteResult:
+    """Evaluate all enabled constraints; docs is scanned once (persisted)."""
+    cfg = config or SuiteConfig()
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    parts: list[DataFrame] = []
+    if cfg.duplicates:
+        parts.append(duplicates.check_duplicates(docs, n_salts=cfg.n_salts))
+    if cfg.unique_ids:
+        parts.append(uniqueness.check_unique_ids(docs, n_salts=cfg.n_salts))
+    if cfg.empty_docs:
+        parts.append(stats.check_empty_docs(docs))
+    if cfg.large_docs:
+        parts.append(stats.check_large_docs(docs, threshold=cfg.large_doc_size))
+    if cfg.name_rules:
+        parts.append(predicates.check_doc_names(docs))
+    if cfg.name_length:
+        parts.append(predicates.check_name_length(docs, max_len=cfg.max_name_len))
+    if cfg.temp_refs:
+        parts.append(predicates.check_temp_refs(docs))
+    if cfg.legacy_refs:
+        parts.append(predicates.check_legacy_refs(docs))
+    if cfg.kind_consistency:
+        parts.append(predicates.check_kind_consistency(docs))
+    if cfg.json_spans:
+        parts.append(predicates.check_json_spans(docs))
+    if cfg.confidential:
+        parts.append(
+            confidential.check_confidential(docs, patterns=cfg.confidential_patterns)
+        )
+    if cfg.referential and media_catalog is not None:
+        parts.append(referential.check_media_refs(docs, media_catalog))
+    write_back = None
+    if cfg.integrity and expected_fingerprints is not None:
+        v, write_back = integrity.verify_integrity(
+            docs, expected_fingerprints, include_missing=False
+        )
+        parts.append(v)
+    if cfg.integrity_missing and expected_fingerprints is not None:
+        parts.append(integrity.check_missing_expectations(docs, expected_fingerprints))
+    if cfg.partition_sizes:
+        parts.append(
+            diraggs.check_partition_sizes(
+                docs, expected_parts=expected_parts, max_items=cfg.max_items_per_partition
+            )
+        )
+    if cfg.drift:
+        from datachecker_spark.fingerprint import doc_size
+
+        has_media = (
+            F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media")) > 0
+        ).cast("int")
+        parts.append(
+            drift.check_drift(
+                docs, categorical=has_media, numeric=doc_size("spans"), alpha=cfg.drift_alpha
+            )
+        )
+
+    violations = parts[0]
+    for p in parts[1:]:
+        violations = violations.unionByName(p)
+    # violations feed both the sink and the metrics aggregation — cache the
+    # (small) result instead of re-evaluating every constraint branch twice
+    violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+
+    metrics = metrics_from_violations(violations, docs, cfg.enabled_checks())
+    profile = stats.partition_profile(docs)
+    return SuiteResult(violations, metrics, profile, write_back)
+
+
+# --------------------------------------------------------------------------
+# Checkpointed run with lineage + resume
+# --------------------------------------------------------------------------
+
+
+def completed_parts(spark: SparkSession, lineage_path: str) -> DataFrame | None:
+    lin = tio.read_table(spark, lineage_path)
+    if lin is None:
+        return None
+    return lin.where(F.col("status") == "done").select("part").distinct()
+
+
+def run_with_lineage(
+    docs: DataFrame,
+    output_dir: str,
+    *,
+    run_id: str,
+    media_catalog: DataFrame | None = None,
+    expected_fingerprints: DataFrame | None = None,
+    expected_parts: DataFrame | None = None,
+    config: SuiteConfig | None = None,
+) -> dict:
+    """Checkpointed suite run.
+
+    Partition-LOCAL checks: partitions already marked done in
+    {output_dir}/lineage are excluded from the scan (anti-join = plan-level
+    filter = partition pruning on a partitioned table); results append to
+    {output_dir}/violations + metrics. Violations/metrics are written BEFORE
+    the lineage rows (write-then-commit ordering), so a crash re-processes
+    the last batch instead of losing it.
+
+    GLOBAL checks (duplicates, unique_ids, drift, partition_sizes — see
+    SuiteConfig.GLOBAL_FIELDS) are recomputed over the FULL input whenever
+    any partition is new, and their outputs land in
+    {output_dir}/violations_global + metrics_global with mode=overwrite:
+    a duplicate group spanning an old and a new partition is only visible to
+    a full-corpus pass. Total verdicts = union of both table pairs.
+
+    Returns {"parts_processed": n, "parts_skipped": m}.
+    """
+    spark = docs.sparkSession
+    cfg = config or SuiteConfig()
+    lineage_path = f"{output_dir}/lineage"
+    done = completed_parts(spark, lineage_path)
+    todo = docs
+    n_skipped = 0
+    if done is not None:
+        n_skipped = done.count()
+        todo = docs.join(F.broadcast(done), "part", "left_anti")
+
+    todo = todo.persist(StorageLevel.MEMORY_AND_DISK)
+    todo_parts = [r["part"] for r in todo.select("part").distinct().collect()]
+    if not todo_parts:
+        todo.unpersist()
+        return {"parts_processed": 0, "parts_skipped": n_skipped}
+
+    # 1. partition-local constraints over the incomplete partitions only
+    res = run_suite(
+        todo,
+        media_catalog=media_catalog,
+        expected_fingerprints=expected_fingerprints,
+        config=cfg.local_only(),
+    )
+    tio.write_table(
+        res.violations, f"{output_dir}/violations", mode="append", partition_by=["part"]
+    )
+    tio.write_table(res.metrics, f"{output_dir}/metrics", mode="append")
+    tio.write_table(res.profile, f"{output_dir}/profile", mode="append")
+
+    # 2. global constraints over the full corpus (overwrite: latest full view)
+    gcfg = cfg.global_only()
+    if gcfg.enabled_checks():
+        gres = run_suite(
+            docs,
+            expected_parts=expected_parts,
+            expected_fingerprints=expected_fingerprints,
+            config=gcfg,
+        )
+        tio.write_table(gres.violations, f"{output_dir}/violations_global", mode="overwrite")
+        tio.write_table(gres.metrics, f"{output_dir}/metrics_global", mode="overwrite")
+
+    # 3. commit point: lineage written last
+    lineage_rows = res.metrics.groupBy("part").agg(
+        F.sum("violation_count").alias("violation_count"),
+        F.max("docs_scanned").alias("docs_scanned"),
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        "part",
+        F.lit("suite").alias("check"),
+        F.lit("done").alias("status"),
+        "violation_count",
+        "docs_scanned",
+        F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())).alias("completed_at"),
+    )
+    tio.write_table(lineage_rows, lineage_path, mode="append")
+    todo.unpersist()
+    return {"parts_processed": len(todo_parts), "parts_skipped": n_skipped}

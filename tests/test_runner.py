@@ -1,0 +1,128 @@
+"""Suite runner + lineage/resume (FIXTURES 'resume' family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import tempfile
+
+from datachecker_spark.datagen import (
+    generate_documents,
+    generate_expected_fingerprints,
+    generate_media_catalog,
+)
+from datachecker_spark.runner import SuiteConfig, run_suite, run_with_lineage
+
+_CACHE: dict = {}
+
+
+def _corpus(spark, n=1500, seed=42):
+    """Materialized corpus (parquet round-trip): re-evaluating the generator's
+    expression tree on every action is the slow path; reading a table is the
+    realistic one."""
+    key = (n, seed)
+    if key not in _CACHE:
+        d = tempfile.mkdtemp(prefix=f"corpus_{n}_{seed}_")
+        docs = generate_documents(spark, n, dup_rate=0.1, dangling_rate=0.03,
+                                  conf_rate=0.02, seed=seed)
+        docs.write.mode("overwrite").parquet(f"{d}/documents")
+        generate_media_catalog(spark, 1000, seed=seed).write.mode("overwrite").parquet(
+            f"{d}/catalog"
+        )
+        docs_back = spark.read.parquet(f"{d}/documents")
+        generate_expected_fingerprints(docs_back, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/expected")
+        _CACHE[key] = d
+    d = _CACHE[key]
+    return (
+        spark.read.parquet(f"{d}/documents"),
+        spark.read.parquet(f"{d}/catalog"),
+        spark.read.parquet(f"{d}/expected"),
+    )
+
+
+def test_run_suite_end_to_end(spark):
+    docs, catalog, expected = _corpus(spark)
+    res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected)
+    by_check = {
+        r["check"]: r["n"]
+        for r in res.violations.groupBy("check").agg(F.count("*").alias("n")).collect()
+    }
+    # the generator plants all of these families
+    for check in ["duplicate_docs", "empty_doc", "confidential",
+                  "dangling_media_ref", "integrity", "json_validity"]:
+        assert by_check.get(check, 0) > 0, f"no violations for {check}: {by_check}"
+    # metrics grid covers every (part, enabled check)
+    cfg = SuiteConfig()
+    n_parts = docs.select("part").distinct().count()
+    assert res.metrics.count() == n_parts * len(cfg.enabled_checks())
+    # pass/fail is consistent with violation counts
+    bad = res.metrics.where(
+        ((F.col("violation_count") > 0) & (F.col("status") == "pass"))
+        | ((F.col("violation_count") == 0) & (F.col("status") == "fail"))
+    )
+    assert bad.count() == 0
+    assert res.profile.count() == n_parts
+    assert res.write_back is not None and res.write_back.count() > 0
+
+
+def test_config_toggles(spark):
+    docs, _, _ = _corpus(spark, n=800)
+    cfg = SuiteConfig(
+        duplicates=True, unique_ids=False, empty_docs=False, large_docs=False,
+        name_rules=False, name_length=False, temp_refs=False, legacy_refs=False,
+        kind_consistency=False, json_spans=False, confidential=False,
+        referential=False, integrity=False, partition_sizes=False, drift=False,
+    )
+    res = run_suite(docs, config=cfg)
+    checks = {r["check"] for r in res.violations.select("check").distinct().collect()}
+    assert checks == {"duplicate_docs"}
+
+
+def _all_violations(spark, out_dir):
+    v = spark.read.parquet(f"{out_dir}/violations")
+    g = spark.read.parquet(f"{out_dir}/violations_global")
+    return v.unionByName(g)
+
+
+def test_lineage_resume(spark, tmp_path):
+    """Rerun after a partial run scans only incomplete partitions for local
+    checks, recomputes global checks over the full corpus, and the union of
+    outputs equals a from-scratch run (FIXTURES 'resume' family)."""
+    docs, catalog, expected = _corpus(spark, n=1200, seed=9)
+    out_full = str(tmp_path / "full")
+    out_resume = str(tmp_path / "resume")
+    # confidential off purely for test speed (pandas-UDF worker startup)
+    cfg = SuiteConfig(drift=False, confidential=False)
+
+    # from-scratch reference run
+    r = run_with_lineage(docs, out_full, run_id="full",
+                         media_catalog=catalog, expected_fingerprints=expected, config=cfg)
+    n_parts = docs.select("part").distinct().count()
+    assert r == {"parts_processed": n_parts, "parts_skipped": 0}
+
+    # phase 1: only half the partitions exist → processed + checkpointed
+    half_parts = [f"p{i}" for i in range(8)]
+    docs_half = docs.where(F.col("part").isin(half_parts))
+    r1 = run_with_lineage(docs_half, out_resume, run_id="r1",
+                          media_catalog=catalog, expected_fingerprints=expected, config=cfg)
+    assert r1["parts_skipped"] == 0
+
+    # phase 2: full input, resumed → completed partitions skipped for local
+    # checks; global checks (duplicates spanning the two halves) recomputed
+    r2 = run_with_lineage(docs, out_resume, run_id="r2",
+                          media_catalog=catalog, expected_fingerprints=expected, config=cfg)
+    assert r2["parts_skipped"] == r1["parts_processed"]
+    assert r2["parts_processed"] == n_parts - r1["parts_processed"]
+
+    # identical verdicts: per-row violation multiset matches the full run
+    key = ["check", "severity", "doc_id", "part", "detail"]
+    a = _all_violations(spark, out_full).groupBy(key).count()
+    b = _all_violations(spark, out_resume).groupBy(key).count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # third run: everything done → no-op
+    r3 = run_with_lineage(docs, out_resume, run_id="r3",
+                          media_catalog=catalog, expected_fingerprints=expected, config=cfg)
+    assert r3 == {"parts_processed": 0, "parts_skipped": n_parts}
