@@ -307,3 +307,189 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup family / text analysis / ANN)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(str_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ),
+    sets AS (
+      SELECT id,
+             list_distinct(
+               list_filter(
+                 list_transform(list_zip(words, words[2:]),
+                                x -> CASE WHEN x[2] IS NULL THEN NULL
+                                          ELSE x[1] || ' ' || x[2] END),
+                 v -> v IS NOT NULL)) AS sh
+      FROM toks
+    ),
+    ex AS (SELECT id, unnest(sh) AS s FROM sets WHERE len(sh) > 0),
+    sizes AS (SELECT id, len(sh) AS n FROM sets WHERE len(sh) > 0),
+    pairs AS (
+      SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+      FROM ex x JOIN ex y ON x.s = y.s AND x.id < y.id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           round(p.inter / (sa.n + sb.n - p.inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.id = p.id_a
+    JOIN sizes sb ON sb.id = p.id_b
+    WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via common-shingle join."""
+    from datachecker_spark.textops import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@query("minhash_lsh_dedup")  # rows-only: xxhash64 has no DuckDB equivalent
+def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join, exact
+    Jaccard verify). Verified against ngram_jaccard_pairs in tests; the LSH
+    prefilter is hash-dependent so the DuckDB oracle is the exact variant."""
+    from datachecker_spark.textops import minhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.2)
+
+
+@query("simhash_dedup")  # rows-only: xxhash64/getbit not portable to DuckDB
+def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachecker_spark.textops import simhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+@query(
+    "winnow_fingerprints",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id AS id,
+             [('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+              for i in range(1, greatest(length(text) - 8 + 2, 1))] AS hs
+      FROM documents WHERE length(text) >= 8
+    ),
+    mins AS (
+      SELECT id,
+             CASE WHEN len(hs) >= 4
+                  THEN [list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)]
+                  ELSE [list_min(hs)] END AS fps
+      FROM grams
+    )
+    SELECT DISTINCT id AS id, unnest(fps) AS fp FROM mins
+    """,
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash selection, oracle-checkable via
+    md5-derived integers)."""
+    from datachecker_spark.textops import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT doc_id AS id,
+           len(list_filter(str_split_regex(lower(text), '\\s+'), w -> w <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachecker_spark.textops import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(str_split_regex(lower(text), '\\s+'), w -> w <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT id,
+        len(list_filter(toks, w -> list_contains(['the','and','of','to','in','is','it','that','for','was','with','a'], w))) / greatest(len(toks), 1) AS s_en,
+        len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu','den'], w))) / greatest(len(toks), 1) AS s_de,
+        len(list_filter(toks, w -> list_contains(['le','la','les','et','est','un','une','de','des','que','pas'], w))) / greatest(len(toks), 1) AS s_fr,
+        len(list_filter(toks, w -> list_contains(['el','la','los','las','y','es','un','una','de','que','no'], w))) / greatest(len(toks), 1) AS s_es
+      FROM t
+    )
+    SELECT id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           round(greatest(s_en, s_de, s_fr, s_es), 6) AS lang_score
+    FROM s
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachecker_spark.textops import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline; LSH path is the
+    scale variant, verified by recall tests)."""
+    from datachecker_spark.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, queries, k=10)
+
+
+@query("ann_lsh_topk")  # rows-only: candidate set depends on xxhash-free RNG planes but
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall vs exact asserted in tests)."""
+    from datachecker_spark.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return lsh_cosine_topk(emb, queries, k=10)
+
+
+@query("embedding_near_dups")  # rows-only: LSH candidate pruning is hash-dependent
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datachecker_spark.similarity import cosine_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.9)

@@ -1,0 +1,420 @@
+"""Training-data pipeline text operators over a flat (id, text) table.
+
+Everything here is pure Catalyst column algebra — token arrays, shingles,
+minhash signatures, simhash bits, winnowing fingerprints are all built with
+transform/aggregate/sequence over JVM built-ins (xxhash64, md5, conv), so the
+whole pipeline stays inside whole-stage codegen with zero Python per row.
+
+Scale notes (10^12 docs):
+* Candidate generation for near-dup detection is always a bucket join
+  (LSH band / simhash chunk / shared shingle), never an all-pairs product.
+* Pair verification shuffles only (id_a, id_b) plus small per-doc summaries.
+* The common-shingle exact-Jaccard path computes |A ∩ B| in the join and
+  |A ∪ B| from per-doc distinct counts — no second pass over text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingles
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+
+
+def word_shingles(toks: Column, k: int = 2) -> Column:
+    """k-word shingles joined by single spaces; [] when fewer than k tokens."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_grams(text: Column | str, k: int = 8) -> Column:
+    """Character k-grams; [] when the text is shorter than k."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: t.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide minhash signature as a Column expression: per hash
+    function h, the minimum of xxhash64(shingle, h) over the distinct
+    shingle set. Semantic reference ONLY — higher-order functions are not
+    whole-stage-codegen'd in Spark, so the hot path (minhash_table) computes
+    the identical signature relationally via explode + min aggregates."""
+    distinct = F.array_distinct(shingles)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(distinct, lambda s: F.xxhash64(s, h))),
+    )
+
+
+def minhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 2,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, mh0..mh{H-1}): signatures via explode + H codegen'd min-aggs —
+    the vectorized form of minhash_signature (same values, same seeds)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), shingle_k))).alias("s"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(h))).alias(f"mh{h}") for h in range(num_hashes)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def band_keys(sig_cols: list[str], bands: int, rows: int) -> Column:
+    """Band keys from signature columns: hash of each contiguous rows-slice."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(c).cast("string") for c in sig_cols[b * rows : (b + 1) * rows]])
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold).
+
+    shingle → minhash → band → bucket-join for candidates, then EXACT
+    Jaccard verification on the distinct shingle sets (estimated similarity
+    never decides membership — the signature only prunes the pair space)."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    base = base.persist()
+    # signatures via the relational (codegen'd) path; candidates carry ONLY
+    # ids through the band explode / self-join / dedup — shuffling the
+    # shingle arrays 16× per doc is the data amplification that kills this
+    # at scale. Shingle sets re-join once, keyed by id, for verification.
+    sig_cols = [f"mh{h}" for h in range(num_hashes)]
+    sig = minhash_table(df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes)
+    bucketed = sig.select(
+        "id",
+        F.posexplode(band_keys(sig_cols, bands, rows)).alias("band_idx", "band_key"),
+    )
+    cand = (
+        bucketed.alias("x")
+        .join(bucketed.alias("y"), ["band_idx", "band_key"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sets_a, "id_a").join(sets_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return verified.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via common-shingle join (SQL-expressible oracle path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with exact shingle-set Jaccard ≥ threshold.
+
+    |A ∩ B| falls out of the shingle equi-join's group count; |A ∪ B| =
+    |A| + |B| − |A ∩ B| from per-doc set sizes. Pairs sharing no shingle
+    (jaccard 0) never materialize — the join is the candidate filter."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sizes = sets.select("id", F.size("sh").alias("n"))
+    ex = sets.select("id", F.explode("sh").alias("s"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def simhash(toks: Column, bits: int = 64) -> Column:
+    """Charikar simhash over the token multiset: bit b of the result is set
+    iff the sum of ±1 votes (bit b of each token's xxhash64 mapped to ±1) is
+    positive. Single pass over the tokens: the fold accumulates a `bits`-wide
+    vote array via zip_with/getbit, then the bit-assembly loop runs in Python
+    over literal positions (shift amounts must be literals in Spark)."""
+    zeros = F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), lambda b: F.lit(0))
+    votes = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.getbit(F.xxhash64(t), b),
+            ),
+            lambda a, v: a + F.when(v == 1, 1).otherwise(-1),
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = (1 << b) if b < 63 else -(2**63)  # bit 63 = sign bit of a long
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, bits: int = 64
+) -> DataFrame:
+    """(id, sh): simhash via explode + `bits` codegen'd vote-sum aggregates —
+    the vectorized form of simhash() (identical values)."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+    ex = ex.select("id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(F.when(F.getbit("h", F.lit(b)) == 1, 1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = ex.groupBy("id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(bits):
+        weight = (1 << b) if b < 63 else -(2**63)
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("id", sh.alias("sh"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with simhash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: with `chunks` 16-bit chunks, any pair within
+    hamming ≤ chunks−1 shares at least one exact chunk — candidates come
+    from a chunk equi-join, verification is bit_count(xor) on the join."""
+    assert max_hamming < chunks * 16
+    base = simhash_table(df, id_col, text_col)
+    width = 64 // chunks
+    chunk_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sh"), c * width).bitwiseAND(F.lit((1 << width) - 1))
+            for c in range(chunks)
+        ]
+    )
+    chunked = base.select(
+        "id", "sh", F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val")
+    )
+    a = chunked.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "chunk_val")
+    b = chunked.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "chunk_val")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling-hash selection)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    gram_k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken): hash every char k-gram, keep
+    the minimum hash of each sliding window — a deterministic ~1/window
+    sample of positions that any sufficiently long shared substring must hit.
+
+    Hash = first 8 hex chars of md5 as an integer (md5 agrees bit-for-bit
+    between Spark and DuckDB, making the fingerprint oracle-checkable).
+    Relational form — explode grams, hash in codegen, sliding-window min via
+    a window function — higher-order-function folds are interpreted and ~10×
+    slower. Returns distinct (id, fp)."""
+    from pyspark.sql import Window as W
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(char_grams(F.col(text_col), gram_k)).alias("pos", "g"),
+    )
+    hashed = grams.select(
+        "id", "pos", F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    win = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    whole = W.partitionBy("id")
+    mins = hashed.select(
+        "id",
+        "pos",
+        F.min("h").over(win).alias("fp"),
+        F.max("pos").over(whole).alias("maxpos"),
+    )
+    # only full windows select fingerprints (positions 0..n-window); a doc
+    # shorter than one window keeps its single overall min (pos 0 row)
+    full = mins.where(F.col("pos") <= F.greatest(F.col("maxpos") - window + 1, F.lit(0)))
+    return full.select("id", "fp").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Language ID / quality / token stats
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "was", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "des", "que", "pas"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "no"],
+}
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit share of the token stream."""
+    n = F.greatest(F.size(toks), F.lit(1))
+    return {
+        lang: F.size(F.filter(toks, lambda w: w.isin(words))) / n
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID: argmax stopword share, 'unknown' when no
+    language scores above zero."""
+    toks = tokens(text_col)
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    lang = F.lit("unknown")
+    for code in sorted(STOPWORDS, reverse=True):  # deterministic tie-break: first alphabetically wins
+        lang = F.when(scores[code] == best, F.lit(code)).otherwise(lang)
+    lang = F.when(best > 0, lang).otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        lang.alias("lang_pred"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_REGEX)).alias("bpe_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality score in [0,1] from length, punctuation
+    ratio, stopword ratio, and mean word length — the usual cheap pre-filter
+    stack for web-scale corpus cleaning."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    punct_ratio = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")) / n_chars
+    stop_ratio = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS["en"]))) / n_toks
+    mean_wlen = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w)) / n_toks
+    len_component = F.least(F.length(t) / 500.0, F.lit(1.0))
+    wlen_component = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.5)
+    punct_component = F.when(punct_ratio <= 0.2, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (punct_ratio - 0.2) * 2)
+    )
+    stop_component = F.least(stop_ratio * 4, F.lit(1.0))
+    score = (
+        0.3 * len_component
+        + 0.2 * wlen_component
+        + 0.25 * punct_component
+        + 0.25 * stop_component
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(score, 6).alias("quality"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+    )

@@ -1,0 +1,115 @@
+"""Text dedup family + text analysis operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datachecker_spark import textops as X
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches from the hill with great patience and care"
+)
+NEAR = BASE.replace("great patience", "immense patience")  # 2-word change
+OTHER = "completely different content about spark dataframes shuffles and joins in distributed systems everywhere"
+
+
+def test_shingles_and_tokens(spark):
+    df = _df(spark, [("a", "The quick  brown fox")])
+    row = df.select(
+        X.tokens("text").alias("t"),
+        X.word_shingles(X.tokens("text"), 2).alias("s2"),
+        X.char_grams(F.col("text"), 8).alias("g"),
+    ).collect()[0]
+    assert row["t"] == ["the", "quick", "brown", "fox"]
+    assert row["s2"] == ["the quick", "quick brown", "brown fox"]
+    assert row["g"][0] == "The quic" and len(row["g"]) == len("The quick  brown fox") - 7
+
+
+def test_ngram_jaccard_exact(spark):
+    df = _df(spark, [("a", "x y z w"), ("b", "x y z q"), ("c", "p q r s")])
+    # bigram sets: a={x y, y z, z w}, b={x y, y z, z q}, c={p q, q r, r s}
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in X.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert pairs[("a", "b")] == 0.5  # 2 common / 4 union
+    assert ("a", "c") not in pairs  # no shared shingle → never a candidate
+
+
+def test_minhash_near_dups(spark):
+    df = _df(spark, [("base", BASE), ("near", NEAR), ("other", OTHER)])
+    pairs = X.minhash_near_dup_pairs(df, threshold=0.6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {("base", "near")}
+    jac = pairs[0]["jaccard"]
+    # verification is exact jaccard, must match ngram_jaccard_pairs
+    exact = X.ngram_jaccard_pairs(df, threshold=0.6).collect()[0]["jaccard"]
+    assert jac == exact
+
+
+def test_minhash_identical_docs(spark):
+    df = _df(spark, [("a", BASE), ("b", BASE)])
+    pairs = X.minhash_near_dup_pairs(df, threshold=0.99).collect()
+    assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_properties(spark):
+    df = _df(spark, [("a", BASE), ("b", BASE), ("near", NEAR), ("other", OTHER)])
+    sh = {r["doc_id"]: r["s"] for r in df.select("doc_id", X.simhash(X.tokens("text")).alias("s")).collect()}
+    assert sh["a"] == sh["b"]  # identical text → identical simhash
+    mask = (1 << 64) - 1  # signed-long XOR → unsigned popcount
+    ham_near = bin((sh["a"] ^ sh["near"]) & mask).count("1")
+    ham_other = bin((sh["a"] ^ sh["other"]) & mask).count("1")
+    assert ham_near < ham_other
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in X.simhash_near_dup_pairs(df, max_hamming=3).collect()}
+    assert pairs[("a", "b")] == 0
+
+
+def test_winnow_fingerprints(spark):
+    df = _df(spark, [("a", BASE), ("b", BASE), ("c", OTHER)])
+    fps = X.winnow_fingerprints(df)
+    a = {r["fp"] for r in fps.where("id='a'").collect()}
+    b = {r["fp"] for r in fps.where("id='b'").collect()}
+    c = {r["fp"] for r in fps.where("id='c'").collect()}
+    assert a == b and a
+    assert len(a & c) < len(a) / 2  # unrelated text shares few fingerprints
+    # density: winnowing keeps ~1/window of positions
+    assert len(a) < len(BASE) / 2
+
+
+def test_lang_id(spark):
+    df = _df(spark, [
+        ("en", "the cat is in the house and it is happy"),
+        ("de", "der hund ist nicht in das haus und die katze"),
+        ("fr", "le chien est dans la maison et les chats"),
+        ("es", "el perro es un animal y la casa es grande"),
+        ("xx", "zzz qqq www rrr ttt"),
+    ])
+    got = {r["id"]: r["lang_pred"] for r in X.lang_id(df).collect()}
+    assert got == {"en": "en", "de": "de", "fr": "fr", "es": "es", "xx": "unknown"}
+
+
+def test_token_stats(spark):
+    df = _df(spark, [("a", "hello world, 42 times!")])
+    r = X.token_stats(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # [hello][world][,][42][times][!]
+    assert r["bpe_tokens"] == 6
+    assert r["n_chars"] == 22
+
+
+def test_quality_score(spark):
+    df = _df(spark, [
+        ("good", BASE),
+        ("punct", "!!! ??? *** ### $$$ %%% @@@ &&&"),
+        ("short", "hi"),
+    ])
+    q = {r["id"]: r["quality"] for r in X.quality_score(df).collect()}
+    assert q["good"] > q["punct"]
+    assert q["good"] > q["short"]
+    assert all(0.0 <= v <= 1.0 for v in q.values())
