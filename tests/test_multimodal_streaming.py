@@ -1,0 +1,163 @@
+"""Multimodal binary plumbing + streaming validation."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from datachecker_spark.datagen import make_docs
+from datachecker_spark.multimodal import (
+    check_binary_magic,
+    decode_media,
+    generate_media_blobs,
+    resize_images,
+    sample_frames,
+)
+from datachecker_spark.streaming import stream_violations, windowed_verdicts
+
+
+def test_media_blob_generation_and_magic(spark):
+    media = generate_media_blobs(spark, 100, seed=3, corrupt_rate=0.1)
+    assert media.count() == 100
+    v = check_binary_magic(media)
+    n_bad = v.count()
+    assert 0 < n_bad < 30  # ~10% corrupted
+    # corrupted payloads start with XXXX, clean ones with the magic
+    bad_refs = {r["doc_id"] for r in v.collect()}
+    raw = {r["media_ref"]: bytes(r["content"]) for r in media.collect()}
+    for ref, content in raw.items():
+        assert (not content.startswith(b"DCMM")) == (ref in bad_refs)
+
+
+def test_decode_media(spark):
+    media = generate_media_blobs(spark, 60, seed=4, corrupt_rate=0.0)
+    dec = decode_media(media)
+    rows = {r["media_ref"]: r for r in dec.collect()}
+    assert len(rows) == 60
+    meta = {r["media_ref"]: r["meta"] for r in media.collect()}
+    for ref, r in rows.items():
+        assert r["decoder"] == "fake"
+        m = meta[ref]
+        if r["media_kind"] == "image":
+            assert (r["width"], r["height"]) == (m["width"], m["height"])
+        if r["media_kind"] == "audio":
+            assert r["sample_rate"] == 44100
+        assert r["n_bytes"] == 64 + 21
+
+
+def test_decode_corrupt_is_null(spark):
+    media = generate_media_blobs(spark, 40, seed=5, corrupt_rate=1.0)
+    dec = decode_media(media)
+    assert dec.where("decoder = 'none'").count() == 40
+
+
+def test_resize_images(spark):
+    media = generate_media_blobs(spark, 60, seed=6, corrupt_rate=0.0)
+    out = {r["media_ref"]: r for r in resize_images(media, max_side=64).collect()}
+    orig = {r["media_ref"]: r["meta"] for r in media.where("media_kind='image'").collect()}
+    assert set(out) == set(orig)
+    for ref, r in out.items():
+        assert max(r["width"], r["height"]) <= 64
+        w0, h0 = orig[ref]["width"], orig[ref]["height"]
+        scale = min(64 / max(w0, 1), 64 / max(h0, 1), 1.0)
+        assert (r["width"], r["height"]) == (max(int(w0 * scale), 1), max(int(h0 * scale), 1))
+        # resized payload re-decodes with the new dims
+    redec = decode_media(
+        spark.createDataFrame(
+            [(r["media_ref"], "image", r["content"], None) for r in out.values()],
+            "media_ref string, media_kind string, content binary, meta struct<width:int,height:int,duration_ms:int,sample_rate:int>",
+        )
+    )
+    for r in redec.collect():
+        assert (r["width"], r["height"]) == (out[r["media_ref"]]["width"], out[r["media_ref"]]["height"])
+
+
+def test_sample_frames(spark):
+    media = generate_media_blobs(spark, 30, seed=7, corrupt_rate=0.0)
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.groupBy("media_ref").agg(F.count("*").alias("n"), F.max("ts_ms").alias("last"))
+    durations = {r["media_ref"]: r["meta"]["duration_ms"]
+                 for r in media.where("media_kind='video'").collect()}
+    for r in got.collect():
+        d = durations[r["media_ref"]]
+        assert r["n"] == (d + 999) // 1000
+        assert r["last"] < d
+
+
+def _stream_docs_rows():
+    return [
+        ("ok1", [("text", "plain fine text", None, 0)], "p0"),
+        ("bad..name", [("text", "x", None, 0)], "p0"),
+        ("secret1", [("text", "contains top secret stuff", None, 0)], "p1"),
+        ("empty1", [], "p1"),
+    ]
+
+
+def test_stream_violations_on_batch(spark):
+    """The streaming check set is the same functions as batch — verify the
+    composition on a static frame first."""
+    docs = make_docs(spark, _stream_docs_rows())
+    v = stream_violations(docs)
+    got = {(r["check"], r["doc_id"]) for r in v.collect()}
+    assert ("name_rules", "bad..name") in got
+    assert ("confidential", "secret1") in got
+    assert ("empty_doc", "empty1") in got
+    assert all(d != "ok1" for _, d in got)
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    """Real readStream → stateless checks → memory sink."""
+    docs = make_docs(spark, _stream_docs_rows())
+    src = str(tmp_path / "stream_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    assert stream.isStreaming
+    v = stream_violations(stream)
+    q = (
+        v.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_viol")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["check"], r["doc_id"]) for r in spark.sql("select * from stream_viol").collect()}
+    assert ("name_rules", "bad..name") in got
+    assert ("confidential", "secret1") in got
+
+
+def test_windowed_verdicts_streaming(spark, tmp_path):
+    """Watermarked windowed aggregation over a doc stream with event time."""
+    docs = make_docs(spark, _stream_docs_rows())
+    with_ts = docs.withColumn(
+        "ts",
+        F.to_timestamp(
+            F.when(F.col("part") == "p0", "2024-01-01 00:01:00").otherwise(
+                "2024-01-01 00:07:00"
+            )
+        ),
+    )
+    src = str(tmp_path / "wv_src")
+    with_ts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(with_ts.schema).parquet(src)
+    wv = windowed_verdicts(stream, window="5 minutes", watermark="1 minute", large_doc_size=10_000)
+    # complete mode: emit every window each trigger — in append mode a window
+    # only emits once the watermark passes its end, so a one-shot run would
+    # hold back the last window (correct streaming behavior, wrong for a test)
+    q = (
+        wv.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_wv")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["part"], str(r["window_start"])): r
+            for r in spark.sql("select * from stream_wv").collect()}
+    p1 = rows[("p1", "2024-01-01 00:05:00")]
+    assert p1["docs_seen"] == 2 and p1["violations"] == 1  # empty1
+    p0 = rows[("p0", "2024-01-01 00:00:00")]
+    assert p0["docs_seen"] == 2 and p0["violations"] == 0  # size checks only
