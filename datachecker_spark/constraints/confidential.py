@@ -100,18 +100,35 @@ def contains_any_udf(patterns: list[str], engine: str = "regex"):
     return _scan
 
 
+def contains_any_expr(col: Column, patterns: list[str]) -> Column:
+    """JVM-side contains-ANY: OR-chain of literal `contains` — stays inside
+    whole-stage codegen (each term is a string indexOf), no Python transfer.
+    Semantically identical to the automaton for literal patterns; the UDF
+    engines exist for the cross-validation tests and future regex patterns."""
+    cond = F.lit(False)
+    for p in patterns:
+        cond = cond | col.contains(p)
+    return cond
+
+
 def check_confidential(
     docs: DataFrame,
     patterns: list[str] | None = None,
-    engine: str = "regex",
+    engine: str = "expr",
 ) -> DataFrame:
     """WARNING violation per document containing any pattern (boolean — the
-    reference stops at the first hit per file)."""
+    reference stops at the first hit per file).
+
+    engine="expr" (default): codegen'd OR-of-contains, the scale path.
+    engine="regex"/"automaton": Arrow pandas-UDF paths (see contains_any_udf).
+    """
     pats = DEFAULT_PATTERNS if patterns is None else patterns
-    scan = contains_any_udf(pats, engine=engine)
-    hits = docs.withColumn("_flat", flattened_text("spans")).where(
-        scan(F.col("_flat"))
-    )
+    flat = docs.withColumn("_flat", flattened_text("spans"))
+    if engine == "expr":
+        hits = flat.where(contains_any_expr(F.col("_flat"), pats))
+    else:
+        scan = contains_any_udf(pats, engine=engine)
+        hits = flat.where(scan(F.col("_flat")))
     return as_violations(
         hits, CHECK_NAME, SEV_WARNING, detail=F.lit("matched confidential pattern")
     )

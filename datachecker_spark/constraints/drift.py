@@ -99,6 +99,10 @@ def chi_square_drift(
     obs = docs.select("part", val.alias("v")).groupBy("part", "v").agg(
         F.count("*").alias("a")
     )
+    # the corpus reduction happens exactly once: everything downstream — the
+    # dense grid, the median baseline, the bonferroni part count, and the
+    # final evaluation — reads this tiny (n_parts × n_values) aggregate
+    obs = obs.persist()
     parts = obs.groupBy("part").agg(F.sum("a").alias("n_part"))
     values = obs.select("v").distinct()
     # dense part×value grid: absent cells are real zeros in the test
@@ -161,6 +165,9 @@ def ks_drift(
     counts = base.select("part", bucket.alias("b")).groupBy("part", "b").agg(
         F.count("*").alias("c")
     )
+    # one corpus scan total after the grid pass; all ECDF math reads the
+    # tiny (n_parts × grid) aggregate
+    counts = counts.persist()
     parts = counts.groupBy("part").agg(F.sum("c").alias("n_part"))
     buckets = counts.select("b").distinct()
     dense = (

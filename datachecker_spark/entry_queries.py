@@ -493,3 +493,7 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.9)
+
+
+# constraint-suite operators, part 2 (registers into QUERIES/ORACLES on import)
+from datachecker_spark import entry_queries_suite as _suite  # noqa: E402,F401

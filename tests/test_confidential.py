@@ -66,8 +66,14 @@ def test_default_patterns_nonempty():
 
 
 def test_no_per_row_python_in_plan(spark):
-    """north_rule: no row-at-a-time Python — only ArrowEvalPython nodes."""
+    """north_rule: no row-at-a-time Python. The default engine is pure
+    codegen (no Python at all); the UDF engines must be Arrow-vectorized."""
     v = check_confidential(_fixture(spark))
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" in plan
+    assert "EvalPython" not in plan  # expr path: fully JVM-side
+
+    v_udf = check_confidential(_fixture(spark), engine="regex")
+    plan_udf = v_udf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan_udf
+    assert "ArrowEvalPython" in plan_udf
