@@ -598,3 +598,89 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-quality checks (§2.8) — byte-level settings inspection
+# ---------------------------------------------------------------------------
+
+@query(
+    "compression_quality",
+    oracle="""
+    WITH blobs AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'gz' WHEN 1 THEN 'bz2' ELSE 'zip' END AS fmt,
+             (doc_id * 2654435761) % 10 AS level_byte
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, fmt AS fmt, level_byte AS level_byte,
+           CASE WHEN fmt = 'gz'  AND level_byte <> 2 THEN 'suboptimal'
+                WHEN fmt = 'bz2' AND level_byte <> 9 THEN 'suboptimal'
+                WHEN fmt = 'zip' AND level_byte > 8  THEN 'uncommon'
+                ELSE 'suboptimal' END AS verdict
+    FROM blobs
+    WHERE (fmt = 'gz' AND level_byte <> 2)
+       OR (fmt = 'bz2' AND level_byte <> 9)
+       OR (fmt = 'zip' AND (level_byte > 8 OR (level_byte BETWEEN 1 AND 7)))
+    """,
+)
+def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-settings checks (reference: bz2 level byte != '9',
+    gz flag byte != 2, zip method byte rules —
+    /root/reference/src/modules/compressed.zig:43-128) as pure byte-value
+    predicates over a synthesized per-doc level byte (Knuth-hash derived,
+    identical on both sides)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "gz")
+        .when(F.col("doc_id") % 3 == 1, "bz2")
+        .otherwise("zip")
+    )
+    level = (F.col("doc_id") * 2654435761) % 10
+    blobs = docs.select("doc_id", fmt.alias("fmt"), level.alias("level_byte"))
+    bad = (
+        ((F.col("fmt") == "gz") & (F.col("level_byte") != 2))
+        | ((F.col("fmt") == "bz2") & (F.col("level_byte") != 9))
+        | ((F.col("fmt") == "zip")
+           & ((F.col("level_byte") > 8) | F.col("level_byte").between(1, 7)))
+    )
+    return blobs.where(bad).select(
+        "doc_id", "fmt", "level_byte",
+        F.when((F.col("fmt") == "gz") & (F.col("level_byte") != 2), "suboptimal")
+        .when((F.col("fmt") == "bz2") & (F.col("level_byte") != 9), "suboptimal")
+        .when((F.col("fmt") == "zip") & (F.col("level_byte") > 8), "uncommon")
+        .otherwise("suboptimal")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window event aggregation (batch analog of the streaming path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "windowed_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type AS event_type,
+           count(*) AS n_events,
+           CAST(ROUND(sum(value), 0) AS BIGINT) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation over the events table — the batch
+    form of the engine's Structured Streaming path (streaming.py uses the
+    same window + agg over readStream)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 0).cast("long").alias("sum_value"),
+        )
+    )

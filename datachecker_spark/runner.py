@@ -212,9 +212,14 @@ def run_suite(
     violations = parts[0]
     for p in parts[1:]:
         violations = violations.unionByName(p)
-    # violations feed both the sink and the metrics aggregation — cache the
-    # (small) result instead of re-evaluating every constraint branch twice
-    violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+    # violations feed both the sink and the metrics aggregation. Materialize
+    # the (small) result ONCE, eagerly: localCheckpoint truncates the
+    # 18-branch union lineage, so the sink write and the metrics aggregation
+    # both read materialized rows. (A lazy .persist() is unreliable here —
+    # when the first action is a DataFrame *write*, the cache is not
+    # populated and the metrics pass re-evaluated every branch, doubling
+    # suite wall time with high variance.)
+    violations = violations.localCheckpoint(eager=True)
 
     metrics = metrics_from_violations(violations, docs, cfg.enabled_checks())
     profile = stats.partition_profile(docs)

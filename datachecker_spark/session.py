@@ -17,6 +17,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app_name: str = "spark-doccheck",
     extra_conf: dict[str, str] | None = None,
+    aqe: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -24,18 +25,30 @@ def get_spark(
     shuffle_partitions: default = cores (local shuffles are driver-disk only;
     200 partitions on 60k rows is pure overhead, and at cluster scale the
     runner overrides this per-job from input statistics).
+    aqe: adaptive query execution. Default OFF in the local sandbox: AQE
+    materializes every shuffle stage as its own job and re-plans on the
+    driver, which measured at 65-145s of pure driver latency per suite run
+    here (sub-second stages, ~40 shuffle stages → the re-planning dominates
+    and grows with parallelism: 8-core suite 91s→23s, 32-core 168s→23s
+    with AQE off). On a real cluster with multi-minute stages that constant
+    per-stage cost amortizes to noise and AQE's skew-join splitting +
+    partition coalescing pay for themselves — deploys should pass aqe=True
+    (or set $SPARK_GRAFT_AQE=1). Aggregation-key skew does not depend on AQE
+    either way: the engine salts hot keys itself (constraints/duplicates.py).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
+    if aqe is None:
+        aqe = os.environ.get("SPARK_GRAFT_AQE", "0") == "1"
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
