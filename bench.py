@@ -31,11 +31,20 @@ def main() -> None:
     spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8), app_name="bench")
 
     timings: dict[str, float] = {}
+    variance: dict[str, list[float]] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: one sample can inherit a GC pause or co-tenant stall
+        # (round-1 bench showed a trivially-cheap query at 22.6s once);
+        # queries whose samples differ >3x are flagged in the output
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        if max(samples) > 3 * min(samples) and max(samples) > 1.0:
+            variance[name] = [round(s, 3) for s in samples]
 
     # warm the JVM/codegen once so per-query numbers reflect execution
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -72,6 +81,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cores": cores,
+                "high_variance": variance,
             }
         )
     )

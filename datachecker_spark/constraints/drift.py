@@ -101,8 +101,11 @@ def chi_square_drift(
     )
     # the corpus reduction happens exactly once: everything downstream — the
     # dense grid, the median baseline, the bonferroni part count, and the
-    # final evaluation — reads this tiny (n_parts × n_values) aggregate
-    obs = obs.persist()
+    # final evaluation — reads this tiny (n_parts × n_values) aggregate.
+    # localCheckpoint (not persist) so the blocks are reclaimed by the
+    # ContextCleaner when the result goes out of scope — a bare persist()
+    # leaked cached partitions across repeated check_drift calls.
+    obs = obs.localCheckpoint(eager=True)
     parts = obs.groupBy("part").agg(F.sum("a").alias("n_part"))
     values = obs.select("v").distinct()
     # dense part×value grid: absent cells are real zeros in the test
@@ -166,8 +169,8 @@ def ks_drift(
         F.count("*").alias("c")
     )
     # one corpus scan total after the grid pass; all ECDF math reads the
-    # tiny (n_parts × grid) aggregate
-    counts = counts.persist()
+    # tiny (n_parts × grid) aggregate (localCheckpoint: see chi_square_drift)
+    counts = counts.localCheckpoint(eager=True)
     parts = counts.groupBy("part").agg(F.sum("c").alias("n_part"))
     buckets = counts.select("b").distinct()
     dense = (

@@ -40,15 +40,30 @@ CHECK_NAME = "duplicate_docs"
 
 
 def with_fingerprint(docs: DataFrame, exact_confirm: bool = False) -> DataFrame:
-    """Annotate docs with (fp, content_key, size) in a single projection."""
-    canon = canonical_string("spans")
-    key = canon if exact_confirm else F.sha2(canon, 256)
-    return docs.select(
-        "*",
-        fingerprint("spans").alias("fp"),
-        key.alias("content_key"),
-        doc_size("spans").alias("size"),
-    )
+    """Annotate docs with (fp, content_key, size) in a single projection.
+
+    When the runner has already materialized the derived columns into the
+    cached scan (fingerprint.annotate), they are reused as-is — no HOF
+    re-evaluation per branch. exact_confirm=True always rebuilds the key from
+    the full canonical string (test-scale oracle for the fused-key design)."""
+    if exact_confirm:
+        canon = canonical_string("spans")
+        keep = [c for c in docs.columns if c not in ("fp", "content_key", "size")]
+        return docs.select(
+            *keep,
+            fingerprint("spans").alias("fp"),
+            canon.alias("content_key"),
+            doc_size("spans").alias("size"),
+        )
+    have = set(docs.columns)
+    extra = []
+    if "fp" not in have:
+        extra.append(fingerprint("spans").alias("fp"))
+    if "content_key" not in have:
+        extra.append(F.sha2(canonical_string("spans"), 256).alias("content_key"))
+    if "size" not in have:
+        extra.append(doc_size("spans").alias("size"))
+    return docs.select("*", *extra) if extra else docs
 
 
 def duplicate_groups(

@@ -73,34 +73,105 @@ def check_name_length(
 CHECK_TEMP = "temp_refs"
 CHECK_LEGACY = "legacy_refs"
 
+# Full temporary-extension membership, mirroring the reference's ~105-entry
+# map (useless.zig:76-192); grouped the same way: system/cache, downloads,
+# logs/journals, build artifacts, locks/backups.
 TEMP_EXTENSIONS = [
-    ".tmp", ".temp", ".bak", ".log", ".old", ".swp", ".swo", ".pyc", ".pyo",
-    ".o", ".obj", ".cache", ".crdownload", ".partial", ".part", ".dmp",
-    ".chk", ".orig", ".rej", ".lock",
+    # system, cache, session
+    "._.ds_store", ".~tmp", ".$$$", ".$$tmp", ".autosave", ".cache", ".chk",
+    ".dmp", ".ds_store", ".ffs_tmp", ".frm", ".fseventsd", ".ftg", ".gid",
+    ".gvfs", ".iceauthority", ".localized", ".mdmp", ".myd", ".myi", ".ncb",
+    ".old", ".orig", ".peak", ".pf", ".pid", ".recently-used", ".recovery",
+    ".rej", ".sample", ".scc", ".spotlight-v100", ".suo", ".swap", ".swo",
+    ".swp", ".t", ".t$m", ".temp", ".temporary", ".temporaryitems", ".tmp",
+    ".tpm", ".trashes", ".user", ".vmsn", ".vmss", ".xauthority",
+    ".xsession-errors",
+    # partial downloads
+    ".!ut", ".crdownload", ".download", ".downloading", ".filepart",
+    ".opdownload", ".part", ".partial",
+    # logs / journals
+    ".blf", ".etl", ".ldf", ".log", ".plg", ".regtrans-ms", ".tlog",
+    # build artifacts
+    ".a", ".aps", ".cmi", ".cmo", ".db-journal", ".dylib", ".elc", ".exp",
+    ".fasl", ".gch", ".hi", ".idb", ".ilk", ".lastbuildstate", ".lib",
+    ".map", ".mdf-journal", ".o", ".obj", ".opt", ".pdb", ".pyc", ".pyd",
+    ".pyo", ".rbc", ".res", ".sassc", ".scratch", ".sqlite-shm",
+    ".sqlite-wal", ".unsuccessfulbuild",
+    # thumbnails / locks / backups
+    ".thumbnails", ".thumbs", ".bak", ".lck", ".lock", ".lok",
 ]
-TEMP_EXACT_NAMES = [".DS_Store", "Thumbs.db", "desktop.ini", "ehthumbs.db"]
+# exact system filenames (useless.zig FULL_NAME map)
+TEMP_EXACT_NAMES = [
+    ".DS_Store", "desktop.ini", "ehthumbs.db", "hiberfil.sys",
+    "Thumbs.db", "THUMBS.DB",
+]
+# path fragments flagged anywhere in the ref (useless.zig CONTAINS); the
+# engine's refs use '/' separators, so only the Unix-form entries apply —
+# the reference carries Windows '\\' twins of the same six locations
 TEMP_PATH_FRAGMENTS = [
-    "node_modules/", "/tmp/", "__pycache__", ".git/objects/tmp_", "~$",
-    ".Trash/", ".cache/",
+    "$Recycle.bin/", "AppData/Local/Temp", "Windows/Temp",
+    "AppData/Local/Microsoft/INetCache/IE",
+    "AppData/Local/Microsoft/INetCache/Content.IE5",
+    ".~lock.", ".git/objects/tmp_", ".hg/store/journal", ".svn/tmp/",
+    ".torrent.", "/tmp/", "node_modules/", "pycache/", "__pycache__",
 ]
-# legacy format → description (broadcast dimension; subset of the reference's
-# 106-entry map, same shape)
+# filename prefix/suffix pairs; empty string = no constraint
+# (useless.zig START_END, 14 pairs)
+TEMP_START_END = [
+    (".", ""), (".#", ""), (".$", ""), (".fuse_hidden", ""), (".nfs", ""),
+    (".z", ""), ("", "~"), ("#", "#"), ("~", ""), ("~", ".docx"),
+    ("~$.", ""), ("~$", ".pptx"), ("temp", ""), ("tmp", ""),
+]
+# legacy format → description (broadcast dimension; full parity with the
+# reference's 110-entry map, useless.zig:195-306)
 LEGACY_FORMATS = {
-    ".doc": "Microsoft Word 97-2003",
-    ".xls": "Microsoft Excel 97-2003",
-    ".ppt": "Microsoft PowerPoint 97-2003",
-    ".wav": "Waveform audio (uncompressed)",
-    ".bmp": "Windows bitmap (uncompressed)",
-    ".arj": "ARJ archive",
-    ".zoo": "Zoo archive",
-    ".lzh": "LHA archive",
-    ".rm": "RealMedia",
-    ".fla": "Macromedia Flash source",
-    ".swf": "Shockwave Flash",
-    ".wpd": "WordPerfect document",
-    ".tga": "Truevision TGA image",
-    ".pcx": "PC Paintbrush image",
-    ".mid": "MIDI sequence",
+    ".123": "Lotus 1-2-3", ".669": "Composer 669", ".8svx": "Amiga 8-bit sound",
+    ".adf": "Amiga Disk File", ".aiff": "Audio Interchange File Format",
+    ".arc": "ARC archive", ".arj": "ARJ compressed archive",
+    ".asf": "Advanced Systems Format", ".au": "Sun Audio file",
+    ".b64": "Base64 encoded", ".bas": "BASIC source code", ".bat": "Batch file",
+    ".binhex": "BinHex encoded", ".bmp": "Bitmap",
+    ".cgm": "Computer Graphics Metafile", ".cmf": "Creative Music File",
+    ".com": "DOS executable", ".cut": "Dr. Halo", ".cwk": "ClarisWorks document",
+    ".d64": "Commodore 64 disk", ".dbf": "dBASE database file",
+    ".dif": "Data Interchange Format", ".dl": "DL Animation",
+    ".doc": "Microsoft Word 97-2003", ".dsk": "Disk image",
+    ".dxf": "AutoCAD exchange", ".far": "Farandole Composer",
+    ".fdi": "Formatted Disk Image", ".fla": "Adobe Flash source",
+    ".flc": "Autodesk Animator", ".fli": "Autodesk Animator",
+    ".fon": "Font file", ".frm": "FoxPro form", ".gem": "GEM Metafile",
+    ".gl": "Grasp GL", ".grp": "Program Group", ".hqx": "BinHex - Mac",
+    ".iff": "Interchange File Format - Amiga", ".ima": "Disk image",
+    ".it": "Impulse Tracker", ".lbm": "Deluxe Paint", ".lha": "LHArc",
+    ".lzh": "LZH compressed archive", ".manuscript": "WriteNow",
+    ".mcw": "MacWrite", ".mdb": "Microsoft Access Database",
+    ".mdx": "Multiple index", ".mid": "Musical Instrument Digital Interface",
+    ".midi": "Musical Instrument Digital Interface", ".mime": "MIME encoded",
+    ".mov": "QuickTime movie", ".msp": "Microsoft Paint",
+    ".mtm": "MultiTracker", ".nb": "Nota Bene", ".ndx": "dBASE index",
+    ".ntx": "Clipper index", ".nuv": "NuppelVideo", ".ovl": "Overlay file",
+    ".pak": "PAK archive", ".pas": "Pascal source code", ".pct": "PICT image",
+    ".pcx": "PC Paintbrush image", ".pic": "PC Paint/Pictor",
+    ".pif": "Program Information File", ".pit": "PackIt archive - Mac",
+    ".plt": "HPGL plotter", ".prg": "dBASE program", ".psw": "Pocket Word",
+    ".pwl": "Password List", ".pxl": "Pocket Excel", ".qpd": "Quattro Pro",
+    ".ra": "RealAudio", ".rm": "RealMedia file", ".rol": "AdLib ROL file",
+    ".rtf": "Rich Text Format", ".s3m": "ScreamTracker 3", ".sam": "Samna Word",
+    ".scr": "Screen saver", ".scx": "FoxPro screen",
+    ".sdw": "StarOffice Writer document", ".sgi": "Silicon Graphics Image",
+    ".sit": "StuffIt archive", ".snd": "Sound file", ".sqz": "Squeeze",
+    ".sun": "Sun Raster", ".sylk": "Symbolic Link", ".targa": "TARGA image",
+    ".td0": "Teledisk", ".tga": "TARGA image",
+    ".tiff": "Tagged Image File Format", ".tsr": "Terminate and Stay Resident",
+    ".ult": "Ultra Tracker", ".uue": "UUEncoded", ".voc": "Creative Voice File",
+    ".wav": "Waveform Audio File Format", ".wk1": "Lotus 1-2-3 spreadsheet",
+    ".wk3": "Lotus 1-2-3 spreadsheet", ".wk4": "Lotus 1-2-3 spreadsheet",
+    ".wks": "Microsoft Works spreadsheet", ".wmf": "Windows Metafile",
+    ".wmv": "Windows Media Video", ".wpd": "WordPerfect Document",
+    ".wpg": "WordPerfect Graphics", ".wps": "Microsoft Works Word Processor",
+    ".wri": "Windows Write", ".xls": "Microsoft Excel 97-2003",
+    ".xm": "FastTracker 2", ".xy": "XyWrite", ".yuv": "Raw YUV video",
+    ".zoo": "ZOO compressed archive",
 }
 
 
@@ -127,17 +198,31 @@ def ref_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+def temp_ref_expr(ref: Column) -> Column:
+    """Temp/useless-artifact membership over a path-like ref — the four
+    reference strategies ORed (useless.zig): extension map, exact filenames,
+    path-contains fragments, and the 14 filename prefix/suffix pairs
+    (empty side = no constraint, useless.zig:355-362)."""
+    base, ext = _basename(ref), _ext(ref)
+    cond = ext.isin(TEMP_EXTENSIONS) | base.isin(TEMP_EXACT_NAMES)
+    for f in TEMP_PATH_FRAGMENTS:
+        cond = cond | ref.contains(f)
+    for start, end in TEMP_START_END:
+        pair = F.lit(True)
+        if start:
+            pair = pair & base.startswith(start)
+        if end:
+            pair = pair & base.endswith(end)
+        cond = cond | pair
+    return cond
+
+
 def check_temp_refs(docs: DataFrame) -> DataFrame:
     """WARNING per media_ref that looks like a temp/useless artifact."""
     r = ref_rows(docs)
-    ref, base, ext = F.col("ref"), _basename(F.col("ref")), _ext(F.col("ref"))
-    frag = F.lit(False)
-    for f in TEMP_PATH_FRAGMENTS:
-        frag = frag | ref.contains(f)
-    cond = ext.isin(TEMP_EXTENSIONS) | base.isin(TEMP_EXACT_NAMES) | frag
-    flagged = r.where(cond)
+    flagged = r.where(temp_ref_expr(F.col("ref")))
     return as_violations(
-        flagged, CHECK_TEMP, SEV_WARNING, F.concat(F.lit("temp/useless ref: "), ref)
+        flagged, CHECK_TEMP, SEV_WARNING, F.concat(F.lit("temp/useless ref: "), F.col("ref"))
     )
 
 

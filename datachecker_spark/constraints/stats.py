@@ -13,23 +13,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datachecker_spark.contract import SEV_WARNING, as_violations
+from datachecker_spark.contract import SEV_ERROR, SEV_WARNING, as_violations
 from datachecker_spark.fingerprint import doc_size, fingerprint, span_count
 
 CHECK_EMPTY = "empty_doc"
 CHECK_LARGE = "large_doc"
+CHECK_STALE = "stale_doc"
+CHECK_FUTURE = "future_timestamp"
 DEFAULT_LARGE_DOC_SIZE = 1_000_000  # chars; analog of LARGE_FILE_SIZE (config.zig:61)
+DEFAULT_MAX_AGE_DAYS = 365  # analog of LAST_ACCESS_TIME (~1y, config.zig:63)
 
 
 def _annotated(docs: DataFrame) -> DataFrame:
+    have = set(docs.columns)
     text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
     media_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "media")
+    # reuse runner-materialized derived columns when present (fingerprint.annotate)
+    size = F.col("size") if "size" in have else doc_size("spans")
+    n_spans = F.col("n_spans") if "n_spans" in have else span_count("spans")
+    fp = F.col("fp") if "fp" in have else fingerprint("spans")
     return docs.select(
         "doc_id",
         "part",
-        doc_size("spans").alias("size"),
-        span_count("spans").alias("n_spans"),
-        fingerprint("spans").alias("fp"),
+        size.alias("size"),
+        n_spans.alias("n_spans"),
+        fp.alias("fp"),
         F.size(text_spans).alias("n_text_spans"),
         F.size(media_spans).alias("n_media_spans"),
         F.size(F.filter(text_spans, lambda s: s["text"].isNull())).alias("n_null_text"),
@@ -64,9 +72,13 @@ def partition_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+def _size_col(docs: DataFrame):
+    return F.col("size") if "size" in docs.columns else doc_size("spans")
+
+
 def check_empty_docs(docs: DataFrame) -> DataFrame:
     """WARNING per document with no content (size==0 or no spans)."""
-    offenders = docs.where(doc_size("spans") == 0)
+    offenders = docs.where(_size_col(docs) == 0)
     return as_violations(offenders, CHECK_EMPTY, SEV_WARNING, "document has no text content")
 
 
@@ -74,7 +86,56 @@ def check_large_docs(
     docs: DataFrame, threshold: int = DEFAULT_LARGE_DOC_SIZE
 ) -> DataFrame:
     """WARNING per document whose total text length exceeds the threshold."""
-    sized = docs.select("doc_id", "part", doc_size("spans").alias("size"))
+    sized = docs.select("doc_id", "part", _size_col(docs).alias("size"))
     offenders = sized.where(F.col("size") > threshold)
     detail = F.format_string("size=%d exceeds threshold=%d", F.col("size"), F.lit(threshold))
     return as_violations(offenders, CHECK_LARGE, SEV_WARNING, detail)
+
+
+def check_timestamps(
+    docs: DataFrame,
+    *,
+    now=None,
+    max_age_days: int = DEFAULT_MAX_AGE_DAYS,
+    ts_cols: tuple[str, ...] = ("ingest_ts", "modified_ts"),
+) -> DataFrame:
+    """Timestamp sanity over the doc model's optional ts columns.
+
+    Reference analogs (/root/reference/src/modules/stats.zig):
+      * last-access age — entry untouched for > LAST_ACCESS_TIME (~1y)
+        → WARNING (:165-174); here: newest of the ts columns older than
+        max_age_days;
+      * wrong dates — any of atime/ctime/mtime in the FUTURE vs a 'now'
+        sampled once at startup (:177-187, src/main.zig:399-403) → ERROR;
+        here: any ts column beyond `now`.
+
+    `now` is a plan literal (string/py datetime), matching the reference's
+    sample-once semantics and keeping reruns deterministic; defaults to
+    current_timestamp() for ad-hoc use. Columns absent from the schema are
+    skipped (the ts columns are optional in the input_hint model).
+    """
+    present = [c for c in ts_cols if c in docs.columns]
+    if not present:
+        from datachecker_spark.contract import empty_violations
+
+        return empty_violations(docs.sparkSession)
+    now_c = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    cutoff = now_c - F.expr(f"INTERVAL {int(max_age_days)} DAYS")
+    newest = F.greatest(*[F.col(c).cast("timestamp") for c in present])
+    any_future = F.lit(False)
+    for c in present:
+        any_future = any_future | (F.col(c).cast("timestamp") > now_c)
+
+    future = as_violations(
+        docs.where(any_future),
+        CHECK_FUTURE,
+        SEV_ERROR,
+        F.lit("timestamp in the future"),
+    )
+    stale = as_violations(
+        docs.where(~any_future & (newest < cutoff)),
+        CHECK_STALE,
+        SEV_WARNING,
+        F.format_string("not modified in over %d days", F.lit(int(max_age_days))),
+    )
+    return future.unionByName(stale)

@@ -58,13 +58,21 @@ def empty_violations(spark) -> DataFrame:
 
 
 def metrics_from_violations(
-    violations: DataFrame, docs: DataFrame, checks: list[str]
+    violations: DataFrame,
+    docs: DataFrame,
+    checks: list[str],
+    part_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(part, check) verdict table. Partitions with zero violations for a
     check get an explicit pass row (the reference rewrites the header to OK
-    when a check total is zero, /root/reference/src/print.zig:76-82)."""
+    when a check total is zero, /root/reference/src/print.zig:76-82).
+
+    part_counts: optional pre-computed (part, docs_scanned) — the runner
+    passes the partition profile's counts so the metrics pass does not
+    re-scan the corpus."""
     spark = violations.sparkSession
-    part_counts = docs.groupBy("part").agg(F.count("*").alias("docs_scanned"))
+    if part_counts is None:
+        part_counts = docs.groupBy("part").agg(F.count("*").alias("docs_scanned"))
     checks_df = spark.createDataFrame([(c,) for c in checks], ["check"])
     grid = part_counts.crossJoin(F.broadcast(checks_df))
     vcounts = violations.groupBy("part", "check").agg(

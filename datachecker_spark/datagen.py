@@ -83,11 +83,19 @@ def generate_documents(
     null_ref_rate: float = 0.01,
     seed: int = 42,
     slices: int | None = None,
+    timestamps: bool = True,
+    future_rate: float = 0.002,
+    stale_rate: float = 0.01,
 ) -> DataFrame:
     """Bulk corpus. Duplicates share a content_seed; everything derives from it.
 
     hot_frac > 0 plants one boilerplate content on that fraction of docs —
     the skewed-fingerprint family the salted aggregation must survive.
+
+    timestamps=True adds ingest_ts/modified_ts (Jan 2024 base) with planted
+    future timestamps (future_rate — the reference's wrong-dates family,
+    stats.zig:177-187) and stale documents (stale_rate — last-access family,
+    stats.zig:165-174) relative to the suite's fixed 'now' (2024-06-01).
     """
     df = spark.range(0, n_docs, numPartitions=slices).withColumnRenamed("id", "_id")
     i = F.col("_id")
@@ -160,14 +168,31 @@ def generate_documents(
     spans = F.when(F.pmod(_h(seed + 17, i), F.lit(5)) == 0, F.reverse(spans)).otherwise(spans)
     spans = F.when(is_empty, F.array().cast(T.ArrayType(SPAN_SCHEMA))).otherwise(spans)
 
-    out = df.select(
+    cols = [
         F.format_string("doc%010d", i).alias("doc_id"),
         spans.alias("spans"),
         F.concat(F.lit("p"), F.pmod(_h(seed + 18, i), F.lit(n_parts)).cast("string")).alias(
             "part"
         ),
-    )
-    return out
+    ]
+    if timestamps:
+        day = 86_400
+        jan1_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z epoch seconds
+        ingest_s = F.lit(jan1_2024) + F.pmod(_h(seed + 22, i), F.lit(30 * day))
+        modified_s = ingest_s + F.pmod(_h(seed + 23, i), F.lit(5 * day))
+        is_future = _u(seed + 24, i) < future_rate
+        is_stale = ~is_future & (_u(seed + 25, i) < stale_rate)
+        ingest_s = F.when(is_stale, ingest_s - 800 * day).otherwise(ingest_s)
+        modified_s = (
+            F.when(is_future, modified_s + 400 * day)
+            .when(is_stale, modified_s - 800 * day)
+            .otherwise(modified_s)
+        )
+        cols += [
+            F.timestamp_seconds(ingest_s).alias("ingest_ts"),
+            F.timestamp_seconds(modified_s).alias("modified_ts"),
+        ]
+    return df.select(*cols)
 
 
 def generate_media_catalog(

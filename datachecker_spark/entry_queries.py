@@ -83,8 +83,8 @@ def dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
            count(DISTINCT lang) AS n_langs,
-           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
-           round(avg(n_chars), 4) AS avg_chars
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+           CAST((10000 * sum(n_chars)) // count(*) AS BIGINT) AS avg_chars_e4
     FROM documents GROUP BY source
     """,
 )
@@ -97,7 +97,11 @@ def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        # mean in exact fixed-point (chars × 1e-4): sums/counts of integers
+        # are exact in both engines, and `div` avoids the double division
+        # whose last-ulp / HUGEINT-formatting differences broke the value
+        # hash when this was round(avg(n_chars), 4)
+        F.expr("(10000 * sum(n_chars)) div count(*)").alias("avg_chars_e4"),
     )
 
 
@@ -288,7 +292,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id AS user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id AS user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
 )
@@ -331,8 +337,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  v -> v IS NOT NULL)) AS sh
       FROM toks
     ),
-    ex AS (SELECT id, unnest(sh) AS s FROM sets WHERE len(sh) > 0),
-    sizes AS (SELECT id, len(sh) AS n FROM sets WHERE len(sh) > 0),
+    ex0 AS (SELECT id, unnest(sh) AS s FROM sets WHERE len(sh) > 0),
+    hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 1000),
+    ex AS (SELECT id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
     pairs AS (
       SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
       FROM ex x JOIN ex y ON x.s = y.s AND x.id < y.id
@@ -347,11 +355,15 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-duplicate pairs via common-shingle join."""
+    """Exact n-gram-Jaccard near-duplicate pairs via common-shingle join,
+    with the hot-shingle document-frequency guard active (max_df=1000,
+    mirrored in the oracle's hot CTE) — the capped universe is the exact
+    semantics at scale, where an uncapped stop-phrase shingle would make
+    the self-join quadratic."""
     from datachecker_spark.textops import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.2)
+    return ngram_jaccard_pairs(docs, threshold=0.2, max_df=1000)
 
 
 @query("minhash_lsh_dedup")  # rows-only: xxhash64 has no DuckDB equivalent
@@ -487,12 +499,39 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=10)
 
 
-@query("embedding_near_dups")  # rows-only: LSH candidate pruning is hash-dependent
+@query(
+    "embedding_near_dups",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding::DOUBLE[], x -> x * 1.001)
+      FROM embeddings WHERE vec_id % 50 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+)
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with PLANTED near-duplicates (scaled copies
+    for vec_id%50 — scaling preserves both cosine and every sign-random-
+    projection bit, so the LSH candidate stage recovers each planted pair
+    deterministically). The oracle brute-forces all pairs: random dim-64
+    embeddings cannot reach cos≥0.9 (≈7σ), so oracle == planted set ==
+    LSH output. Previously unplanted, this query returned 0 rows — vacuous."""
     from datachecker_spark.similarity import cosine_near_dup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.9)
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    return cosine_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
 # constraint-suite operators, part 2 (registers into QUERIES/ORACLES on import)

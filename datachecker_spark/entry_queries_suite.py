@@ -370,6 +370,223 @@ def magic_kind_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Integrity hash-algorithm breadth (§2.3): the 26-entry dispatch table
+# ---------------------------------------------------------------------------
+
+def _integrity_algos_oracle() -> str:
+    from datachecker_spark.constraints.integrity import (
+        REFERENCE_ALGOS,
+        SUPPORTED_ALGOS,
+    )
+
+    lst = ", ".join(f"'{a}'" for a in REFERENCE_ALGOS)
+    unsupported = [a for a in REFERENCE_ALGOS if a not in SUPPORTED_ALGOS]
+    uns = ", ".join(f"'{a}'" for a in unsupported) or "'__none__'"
+    return f"""
+    WITH typed AS (
+      SELECT doc_id, ([{lst}])[(doc_id % 26) + 1] AS algo FROM documents
+    )
+    SELECT doc_id AS doc_id, algo AS algo,
+           CASE WHEN algo IN ({uns}) THEN 'unsupported_algo'
+                ELSE 'hash_mismatch' END AS verdict
+    FROM typed
+    WHERE doc_id % 9 = 0 OR algo IN ({uns})
+    """
+
+
+@query("integrity_algos", oracle=_integrity_algos_oracle())
+def integrity_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """26-algorithm sidecar dispatch (reference map integrity.zig:46-73):
+    every doc gets an expectation under algo = doc_id%26; expectations for
+    doc_id%9 are corrupted. The Spark side COMPUTES each digest through the
+    real three-tier dispatch (JVM built-ins / truncations / hashlib Arrow
+    UDF) and compares — the oracle predicts the verdict set structurally
+    (digest correctness itself is covered by cross-engine KATs in
+    tests/test_integrity_algos.py). ascon256 + blake3 have no local
+    implementation and surface as unsupported_algo."""
+    from datachecker_spark.constraints.integrity import (
+        REFERENCE_ALGOS,
+        _jvm_hashes,
+        hashlib_hash_udf,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    algo = F.element_at(
+        F.array(*[F.lit(a) for a in REFERENCE_ALGOS]),
+        (F.pmod(F.col("doc_id"), F.lit(26)) + 1).cast("int"),
+    )
+    typed = docs.select("doc_id", algo.alias("algo"), "text")
+    jvm = _jvm_hashes()
+    hx = hashlib_hash_udf()
+    computed = F.lit(None).cast("string")
+    from datachecker_spark.constraints.integrity import HASHLIB_ALGOS
+
+    for a in REFERENCE_ALGOS:
+        if a in jvm:
+            branch = jvm[a](F.col("text"))
+        elif a in HASHLIB_ALGOS:
+            branch = hx(F.lit(a), F.col("text"))
+        else:
+            continue
+        computed = F.when(F.col("algo") == a, branch).otherwise(computed)
+    t = typed.withColumn("_computed", computed)
+    expected = F.when(F.col("doc_id") % 9 == 0, F.lit("corrupt")).otherwise(
+        F.col("_computed")
+    )
+    t = t.withColumn("_expected", expected)
+    flagged = t.where(
+        F.col("_computed").isNull() | (F.col("_computed") != F.col("_expected"))
+    )
+    return flagged.select(
+        "doc_id",
+        "algo",
+        F.when(F.col("_computed").isNull(), "unsupported_algo")
+        .otherwise("hash_mismatch")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Complex magic validators (§2.7) over synthesized REAL header bytes
+# ---------------------------------------------------------------------------
+
+_MAGIC_FMTS = [".mp4", ".tar", ".iso", ".gif", ".tiff", ".zip", ".mp3", ".html",
+               ".avi", ".wav"]
+_MAGIC_HEADERS_HEX = {
+    # one valid specimen per format, zero-padded to the deepest offset
+    ".mp4": "00000018" + "66747970" + "69736f6d",              # size + ftyp + isom
+    ".tar": "00" * 257 + "7573746172",                          # ustar @ +257
+    ".iso": "00" * 32769 + "4344303031",                        # CD001 @ +32769
+    ".gif": "474946383961",                                     # GIF89a
+    ".tiff": "49492a00",                                        # II*\0
+    ".zip": "504b0304" + "00" * 12,
+    ".mp3": "494433" + "00" * 5,                                # ID3
+    ".html": "3c21444f43545950452068746d6c3e",                  # <!DOCTYPE html>
+    ".avi": "52494646" + "00000000" + "41564920",               # RIFF....AVI(sp)
+    ".wav": "52494646" + "00000000" + "57415645",               # RIFF....WAVE
+}
+
+
+@query(
+    "magic_complex",
+    oracle=f"""
+    WITH typed AS (
+      SELECT doc_id,
+             (['{"','".join(_MAGIC_FMTS)}'])[(doc_id % 10) + 1] AS fmt,
+             doc_id % 13 = 0 AS corrupted
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, fmt AS fmt FROM typed WHERE corrupted
+    """,
+)
+def magic_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/AND-OR magic validators (reference magic_numbers.zig:80-174:
+    ftyp@+4, tar@+257, iso@+32769, RIFF containers, GIF/TIFF/MP3/HTML
+    alternatives, zip family) evaluated over REAL synthesized header bytes:
+    each doc gets a valid specimen for fmt = doc_id%10, corrupted (first
+    byte flipped) for doc_id%13. The Spark side runs the engine's
+    format_valid_expr over the binary column; the oracle predicts the
+    mismatch set structurally."""
+    from datachecker_spark.constraints.magic import format_valid_expr
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in _MAGIC_FMTS]),
+        (F.pmod(F.col("doc_id"), F.lit(10)) + 1).cast("int"),
+    )
+    hdr_hex = F.lit(None).cast("string")
+    for x in _MAGIC_FMTS:
+        hdr_hex = F.when(fmt == x, F.lit(_MAGIC_HEADERS_HEX[x])).otherwise(hdr_hex)
+    corrupted = F.col("doc_id") % 13 == 0
+    # corrupt by flipping the first byte to 0xFF.. wait: mp4 starts 00 → use
+    # an invalid sentinel byte 0xEE which breaks every leading signature;
+    # for deep-offset formats (tar/iso) flip the signature byte itself
+    def _flip(hexstr: str, fmt_name: str) -> str:
+        off = {"tar": 257, "iso": 32769}.get(fmt_name.lstrip("."), 0)
+        return hexstr[: off * 2] + "ee" + hexstr[off * 2 + 2 :]
+
+    bad_hex = F.lit(None).cast("string")
+    for x in _MAGIC_FMTS:
+        bad_hex = F.when(fmt == x, F.lit(_flip(_MAGIC_HEADERS_HEX[x], x))).otherwise(bad_hex)
+    content = F.unhex(F.when(corrupted, bad_hex).otherwise(hdr_hex))
+    typed = docs.select("doc_id", fmt.alias("fmt"), content.alias("content"))
+    valid = format_valid_expr(F.col("fmt"), F.col("content"))
+    return typed.where(valid == False).select("doc_id", "fmt")  # noqa: E712
+
+
+# ---------------------------------------------------------------------------
+# Real-byte compression checks (§2.8) over synthesized headers
+# ---------------------------------------------------------------------------
+
+@query(
+    "compression_bytes",
+    oracle="""
+    WITH blobs AS (
+      SELECT doc_id,
+             (['gz', 'bz2', 'zip', 'png'])[(doc_id % 4) + 1] AS fmt,
+             (doc_id * 2654435761) % 10 AS p
+      FROM documents
+    )
+    SELECT doc_id AS doc_id, fmt AS fmt,
+           CASE WHEN fmt = 'gz'  THEN 'gzip XFL not max compression'
+                WHEN fmt = 'bz2' THEN 'bzip2 level below 9'
+                WHEN fmt = 'zip' AND p > 8 THEN 'zip method uncommon'
+                WHEN fmt = 'zip' THEN 'zip method suboptimal'
+                ELSE 'png zlib FLEVEL below max' END AS detail
+    FROM blobs
+    WHERE (fmt = 'gz'  AND p % 3 <> 2)
+       OR (fmt = 'bz2' AND 1 + (p % 9) <> 9)
+       OR (fmt = 'zip' AND (p BETWEEN 1 AND 7 OR p > 8))
+       OR (fmt = 'png' AND p < 5)
+    """,
+)
+def compression_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-quality rules over REAL payload bytes (reference
+    compressed.zig:43-128: bz2 level digit, gz XFL byte, zip method byte,
+    PNG IDAT zlib FLEVEL bit test). Headers are synthesized per doc with a
+    Knuth-hash-derived parameter, the engine's compression_verdict_expr
+    inspects the actual bytes, and the oracle predicts the verdicts from the
+    same parameter arithmetic."""
+    from datachecker_spark.constraints.magic import compression_verdict_expr
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    fmt = F.element_at(
+        F.array(F.lit("gz"), F.lit("bz2"), F.lit("zip"), F.lit("png")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    p = (F.col("doc_id") * 2654435761) % 10
+    # gz: XFL byte = p%3 (2 passes); bz2: level digit 1+(p%9) ('9' passes);
+    # zip: method byte = p (0/8 pass); png: FLEVEL max iff p>=5
+    gz_hex = F.concat(
+        F.lit("1f8b080000000000"), F.lpad(F.hex(F.pmod(p, F.lit(3))), 2, "0"), F.lit("ff")
+    )
+    bz2_hex = F.concat(F.lit("425a68"), F.hex(F.lit(0x30) + 1 + F.pmod(p, F.lit(9))))
+    zip_hex = F.concat(F.lit("504b030400000000"), F.lpad(F.hex(p), 2, "0"), F.lit("00"))
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a"),                       # magic
+        F.lit("0000000d49484452"), F.lit("00" * 17),     # IHDR + payload + crc
+        F.lit("0000200049444154"),                       # IDAT length+tag
+        F.lit("78"),
+        F.when(p >= 5, F.lit("da")).otherwise(F.lit("9c")),
+    )
+    content_hex = (
+        F.when(fmt == "gz", gz_hex)
+        .when(fmt == "bz2", bz2_hex)
+        .when(fmt == "zip", zip_hex)
+        .otherwise(png_hex)
+    )
+    blobs = docs.select(
+        "doc_id", fmt.alias("fmt"), F.unhex(content_hex).alias("content")
+    )
+    v = compression_verdict_expr(F.concat(F.lit("."), F.col("fmt")), F.col("content"))
+    return (
+        blobs.withColumn("_v", v)
+        .where(F.col("_v").isNotNull())
+        .select("doc_id", "fmt", F.col("_v")["reason"].alias("detail"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distribution drift (§2.11): chi-square + KS, both oracle-checkable
 # ---------------------------------------------------------------------------
 
@@ -392,7 +609,7 @@ def magic_kind_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN hist h ON h.source = s.source AND h.lang = l.lang
     )
     SELECT source AS source,
-           round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2,
+           CAST(ROUND(sum((obs - exp) * (obs - exp) / exp) * 100) AS BIGINT) AS chi2_centi,
            count(*) AS n_cells
     FROM cells GROUP BY source
     """,
@@ -417,11 +634,18 @@ def drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * F.col("g") / F.col("total")).alias("exp"),
         )
     )
+    # chi2 in centi-units as BIGINT: double sums reduce in partition-
+    # dependent order in Spark vs sequential in DuckDB, so the 4th decimal
+    # can flip — scale-and-cast per the module convention
     return cells.groupBy("source").agg(
         F.round(
-            F.sum((F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")),
-            4,
-        ).alias("chi2"),
+            F.sum(
+                (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp")) / F.col("exp")
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("chi2_centi"),
         F.count("*").alias("n_cells"),
     )
 
@@ -441,8 +665,9 @@ def drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x, sum(sa) OVER (ORDER BY x) AS ca, sum(sb) OVER (ORDER BY x) AS cb
       FROM c
     )
-    SELECT round(max(abs(ca / (SELECT na FROM tot) - cb / (SELECT nb FROM tot))), 6) AS ks_d,
-           (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b
+    SELECT CAST(ROUND(max(abs(ca / (SELECT na FROM tot) - cb / (SELECT nb FROM tot))) * 1000000) AS BIGINT) AS ks_d_e6,
+           CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_b
     FROM cum
     """,
 )
@@ -465,15 +690,63 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", F.sum("sa").over(w).alias("ca"), F.sum("sb").over(w).alias("cb")
     )
     tot = docs.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    # fixed-point D×1e6 as BIGINT + BIGINT-cast counts: DuckDB types its
+    # sum() subqueries HUGEINT and formats raw doubles differently — the
+    # scale-and-cast convention (module header) makes the value hash stable
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
             F.round(
-                F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))), 6
-            ).alias("ks_d"),
-            F.first("na").alias("n_a"),
-            F.first("nb").alias("n_b"),
+                F.max(F.abs(F.col("ca") / F.col("na") - F.col("cb") / F.col("nb")))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("ks_d_e6"),
+            F.first("na").cast("long").alias("n_a"),
+            F.first("nb").cast("long").alias("n_b"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timestamp checks (§2.5: last-access age + future dates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "timestamp_checks",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 19 = 0 THEN ts + INTERVAL 30 DAY ELSE ts END AS mts
+      FROM events
+    )
+    SELECT event_id AS event_id,
+           CASE WHEN mts > TIMESTAMP '2024-01-15 00:00:00'
+                THEN 'future_timestamp' ELSE 'stale' END AS verdict
+    FROM t
+    WHERE mts > TIMESTAMP '2024-01-15 00:00:00'
+       OR mts < TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY
+    """,
+)
+def timestamp_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Future-date + staleness predicates (reference stats.zig:177-187 wrong
+    dates vs a startup-sampled 'now', :165-174 last-access age) against a
+    fixed now=2024-01-15; future timestamps planted by shifting event ts
+    +30d for event_id%19."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mts = F.when(
+        F.col("event_id") % 19 == 0, F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    ).otherwise(F.col("ts"))
+    now = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    t = ev.select("event_id", mts.alias("mts"))
+    flagged = t.where(
+        (F.col("mts") > now) | (F.col("mts") < now - F.expr("INTERVAL 7 DAYS"))
+    )
+    return flagged.select(
+        "event_id",
+        F.when(F.col("mts") > now, "future_timestamp").otherwise("stale").alias("verdict"),
     )
 
 

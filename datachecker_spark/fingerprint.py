@@ -101,3 +101,51 @@ def doc_size(spans: Column | str = "spans") -> Column:
 def span_count(spans: Column | str = "spans") -> Column:
     c = F.col(spans) if isinstance(spans, str) else spans
     return F.size(c)
+
+
+def flattened_text(spans: Column | str = "spans") -> Column:
+    """Ordered concatenation of text-span content — the confidentiality-scan
+    input. Adjacent spans are contiguous text (the documented boundary rule:
+    the analog of the reference treating chunk boundaries as contiguous,
+    /root/reference/src/modules/confidential.zig:66-88), so a pattern split
+    across two spans still matches. Media spans contribute nothing."""
+    return F.array_join(
+        F.transform(ordered_spans(spans), lambda s: F.coalesce(s["text"], F.lit(""))),
+        "",
+    )
+
+
+# Derived columns every check family reads. Spark evaluates higher-order
+# functions (transform/array_sort/aggregate) in interpreted mode — outside
+# whole-stage codegen, with per-row array materialization — so re-deriving
+# these in each of the suite's ~18 branches over the cached scan is pure
+# allocation churn that collapses multi-core scaling (measured: local[32]
+# SLOWER than local[8] before this existed). annotate() computes them ONCE;
+# the runner persists the annotated projection and every branch reads cheap
+# cached columns. This is the engine's real analog of the reference's stat
+# cache — walk once, reuse derived values
+# (/root/reference/src/modules/core.zig:225-241) — applied to derived
+# columns, not just rows.
+DERIVED_COLUMNS = ("fp", "content_key", "size", "n_spans", "_flat")
+
+
+def annotate(docs):
+    """Return docs with all DERIVED_COLUMNS present (no-op if already there).
+
+    The canonical serialization is built in its own projection so Catalyst's
+    CollapseProject (which refuses to inline non-cheap expressions referenced
+    more than once) evaluates it once and feeds both xxhash64 and sha2."""
+    missing = [c for c in DERIVED_COLUMNS if c not in docs.columns]
+    if not missing:
+        return docs
+    canon = docs.withColumn("_canon", canonical_string("spans"))
+    derived = {
+        "fp": F.xxhash64(F.col("_canon")),
+        "content_key": F.sha2(F.col("_canon"), 256),
+        "size": doc_size("spans"),
+        "n_spans": span_count("spans"),
+        "_flat": flattened_text("spans"),
+    }
+    return canon.select(
+        *docs.columns, *[derived[c].alias(c) for c in missing]
+    )

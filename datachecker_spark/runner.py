@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from datachecker_spark import io as tio
+from datachecker_spark.fingerprint import annotate
 from datachecker_spark.constraints import (
     confidential,
     diraggs,
@@ -73,6 +74,11 @@ class SuiteConfig:
     drift: bool = True
     drift_alpha: float = 0.01
     n_salts: int = 64
+    # timestamp checks (stats.zig:165-187); now is a fixed plan literal —
+    # the reference samples 'now' once at startup (src/main.zig:399-403)
+    timestamps: bool = True
+    timestamp_now: str = "2024-06-01 00:00:00"
+    max_age_days: int = stats.DEFAULT_MAX_AGE_DAYS
 
     # checks whose verdicts depend on the WHOLE corpus, not one partition:
     # a duplicate group or repeated doc_id can span partitions, and drift
@@ -133,6 +139,8 @@ class SuiteConfig:
             names += [diraggs.CHECK_MANY_ITEMS, diraggs.CHECK_ONE_ITEM, diraggs.CHECK_EMPTY_PART]
         if self.drift:
             names += [drift.CHECK_CHI2, drift.CHECK_KS]
+        if self.timestamps:
+            names += [stats.CHECK_FUTURE, stats.CHECK_STALE]
         return names
 
 
@@ -151,10 +159,33 @@ def run_suite(
     expected_fingerprints: DataFrame | None = None,
     expected_parts: DataFrame | None = None,
     config: SuiteConfig | None = None,
+    timings: dict | None = None,
 ) -> SuiteResult:
-    """Evaluate all enabled constraints; docs is scanned once (persisted)."""
+    """Evaluate all enabled constraints; docs is scanned once (persisted).
+
+    The scan is annotated with the derived columns every branch needs
+    (fingerprint, content key, size, span count, flattened text —
+    fingerprint.annotate) BEFORE persisting, and the cache is populated
+    eagerly with one count(). Two reasons, both measured:
+
+    * the derived expressions are higher-order functions that Spark
+      evaluates interpreted (outside codegen, heavy per-row allocation);
+      re-deriving them in each of the ~18 union branches collapsed
+      multi-core scaling (local[32] ran 2.3x SLOWER than local[8]);
+    * without eager population the union's independent branch stages are
+      submitted concurrently and race on the uncached partitions — tasks
+      block on each other's in-flight cache writes instead of streaming.
+
+    This is the reference's stat-cache idea — walk once, reuse
+    (/root/reference/src/modules/core.zig:225-241) — applied to derived
+    columns, not just rows."""
     cfg = config or SuiteConfig()
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    t = timings if timings is not None else {}
+    t0 = time.perf_counter()
+    docs = annotate(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    t["cache_fill"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
 
     parts: list[DataFrame] = []
     if cfg.duplicates:
@@ -191,6 +222,13 @@ def run_suite(
         parts.append(v)
     if cfg.integrity_missing and expected_fingerprints is not None:
         parts.append(integrity.check_missing_expectations(docs, expected_fingerprints))
+    has_ts = any(c in docs.columns for c in ("ingest_ts", "modified_ts"))
+    if cfg.timestamps and has_ts:
+        parts.append(
+            stats.check_timestamps(
+                docs, now=cfg.timestamp_now, max_age_days=cfg.max_age_days
+            )
+        )
     if cfg.partition_sizes:
         parts.append(
             diraggs.check_partition_sizes(
@@ -198,20 +236,29 @@ def run_suite(
             )
         )
     if cfg.drift:
-        from datachecker_spark.fingerprint import doc_size
-
         has_media = (
             F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media")) > 0
         ).cast("int")
         parts.append(
             drift.check_drift(
-                docs, categorical=has_media, numeric=doc_size("spans"), alpha=cfg.drift_alpha
+                docs, categorical=has_media, numeric=F.col("size"), alpha=cfg.drift_alpha
             )
         )
 
+    t["branch_build"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     violations = parts[0]
     for p in parts[1:]:
         violations = violations.unionByName(p)
+    # the union of ~18 branches carries one output partition per branch
+    # partition (branches × shuffle.partitions ≈ thousands of tiny tasks);
+    # in local mode the driver's single-threaded scheduler at ~ms/task then
+    # dominates wall time and caps scaling (measured: the union job flat at
+    # ~20s from 8→32 cores while the content pass scaled 2.3×). Coalesce to
+    # a small multiple of the executor count: still ≥2 waves of parallelism,
+    # 64× fewer task launches. (narrow — no extra shuffle)
+    n_out = max(2 * docs.sparkSession.sparkContext.defaultParallelism, 16)
+    violations = violations.coalesce(n_out)
     # violations feed both the sink and the metrics aggregation. Materialize
     # the (small) result ONCE, eagerly: localCheckpoint truncates the
     # 18-branch union lineage, so the sink write and the metrics aggregation
@@ -220,9 +267,35 @@ def run_suite(
     # populated and the metrics pass re-evaluated every branch, doubling
     # suite wall time with high variance.)
     violations = violations.localCheckpoint(eager=True)
+    t["violations_job"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
 
-    metrics = metrics_from_violations(violations, docs, cfg.enabled_checks())
-    profile = stats.partition_profile(docs)
+    # metrics/profile are per-partition-sized; materialize them eagerly too so
+    # the annotated cache can be released before returning (no cache leak
+    # across repeated run_suite calls in a long-lived session). On a cluster
+    # deploy, swap localCheckpoint for reliable checkpoint() or
+    # persist+count — localCheckpoint blocks live on executors and do not
+    # survive executor loss (see tools/submit_job.py notes).
+    checks = cfg.enabled_checks()
+    if cfg.timestamps and not has_ts:
+        # ts columns absent from this input — drop the never-evaluated
+        # checks from the metrics grid instead of reporting a vacuous pass
+        checks = [
+            c for c in checks if c not in (stats.CHECK_FUTURE, stats.CHECK_STALE)
+        ]
+    # profile first; its per-part doc counts feed the metrics grid so the
+    # metrics pass never re-scans the corpus
+    profile = stats.partition_profile(docs).localCheckpoint(eager=True)
+    metrics = metrics_from_violations(
+        violations,
+        docs,
+        checks,
+        part_counts=profile.select("part", F.col("n_docs").alias("docs_scanned")),
+    ).localCheckpoint(eager=True)
+    if write_back is not None:
+        write_back = write_back.localCheckpoint(eager=True)
+    docs.unpersist()
+    t["metrics_profile"] = round(time.perf_counter() - t0, 2)
     return SuiteResult(violations, metrics, profile, write_back)
 
 

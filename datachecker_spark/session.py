@@ -25,23 +25,24 @@ def get_spark(
     shuffle_partitions: default = cores (local shuffles are driver-disk only;
     200 partitions on 60k rows is pure overhead, and at cluster scale the
     runner overrides this per-job from input statistics).
-    aqe: adaptive query execution. Default OFF in the local sandbox: AQE
-    materializes every shuffle stage as its own job and re-plans on the
-    driver, which measured at 65-145s of pure driver latency per suite run
-    here (sub-second stages, ~40 shuffle stages → the re-planning dominates
-    and grows with parallelism: 8-core suite 91s→23s, 32-core 168s→23s
-    with AQE off). On a real cluster with multi-minute stages that constant
-    per-stage cost amortizes to noise and AQE's skew-join splitting +
-    partition coalescing pay for themselves — deploys should pass aqe=True
-    (or set $SPARK_GRAFT_AQE=1). Aggregation-key skew does not depend on AQE
-    either way: the engine salts hot keys itself (constraints/duplicates.py).
+    aqe: adaptive query execution. Default ON (matching cluster deploys):
+    with the round-2 runner shape — derived columns materialized once, the
+    whole constraint union as ONE eagerly-checkpointed job — AQE's
+    post-shuffle partition coalescing collapses the thousands of tiny union
+    tasks that otherwise throttle the local single-threaded scheduler
+    (measured at 300k docs / local[32]: suite 39.8s AQE-off vs 23.0s AQE-on).
+    Round 1 measured the opposite because the suite then ran as ~40 separate
+    small jobs where per-stage re-planning dominated; that shape is gone.
+    Opt out with SPARK_GRAFT_AQE=0. Aggregation-key skew does not depend on
+    AQE either way: the engine salts hot keys itself
+    (constraints/duplicates.py).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
     if aqe is None:
-        aqe = os.environ.get("SPARK_GRAFT_AQE", "0") == "1"
+        aqe = os.environ.get("SPARK_GRAFT_AQE", "1") == "1"
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")

@@ -126,8 +126,18 @@ def minhash_near_dup_pairs(
     # ids through the band explode / self-join / dedup — shuffling the
     # shingle arrays 16× per doc is the data amplification that kills this
     # at scale. Shingle sets re-join once, keyed by id, for verification.
+    # Signatures derive from the SAME persisted shingle sets (one
+    # tokenization pass total — re-calling minhash_table here would
+    # re-tokenize the whole corpus).
     sig_cols = [f"mh{h}" for h in range(num_hashes)]
-    sig = minhash_table(df, id_col, text_col, shingle_k=shingle_k, num_hashes=num_hashes)
+    sig = (
+        base.select("id", F.explode("sh").alias("s"))
+        .groupBy("id")
+        .agg(*[
+            F.min(F.xxhash64(F.col("s"), F.lit(h))).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ])
+    )
     bucketed = sig.select(
         "id",
         F.posexplode(band_keys(sig_cols, bands, rows)).alias("band_idx", "band_key"),
@@ -162,18 +172,36 @@ def ngram_jaccard_pairs(
     *,
     shingle_k: int = 2,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs with exact shingle-set Jaccard ≥ threshold.
 
     |A ∩ B| falls out of the shingle equi-join's group count; |A ∪ B| =
     |A| + |B| − |A ∩ B| from per-doc set sizes. Pairs sharing no shingle
-    (jaccard 0) never materialize — the join is the candidate filter."""
+    (jaccard 0) never materialize — the join is the candidate filter.
+
+    max_df is the HOT-SHINGLE GUARD: a shingle shared by d documents
+    contributes d² rows to the self-join, so one stop-phrase shared by 10⁶
+    docs makes the plan quadratic on that key. Shingles with document
+    frequency > max_df are dropped from the universe — both from the
+    intersection AND the set sizes, so the result is the exact Jaccard over
+    the capped shingle universe (the standard IDF-style pruning: a shingle
+    in >max_df docs carries ~no pair evidence). The hot set is tiny by
+    construction (≤ |shingles|/max_df), so the exclusion is a broadcast
+    anti-join. max_df=None keeps the uncapped oracle semantics."""
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
     ).where(F.size("sh") > 0)
-    sizes = sets.select("id", F.size("sh").alias("n"))
     ex = sets.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("s").agg(F.count("*").alias("_df")).where(F.col("_df") > max_df)
+        )
+        ex = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
+        sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    else:
+        sizes = sets.select("id", F.size("sh").alias("n"))
     pairs = (
         ex.alias("x")
         .join(ex.alias("y"), "s")

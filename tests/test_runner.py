@@ -74,6 +74,7 @@ def test_config_toggles(spark):
         name_rules=False, name_length=False, temp_refs=False, legacy_refs=False,
         kind_consistency=False, json_spans=False, confidential=False,
         referential=False, integrity=False, partition_sizes=False, drift=False,
+        timestamps=False,
     )
     res = run_suite(docs, config=cfg)
     checks = {r["check"] for r in res.violations.select("check").distinct().collect()}

@@ -44,7 +44,19 @@ def worker(cores: int, n_docs: int) -> None:
     from datachecker_spark.session import get_spark
 
     spark = get_spark(
-        cores=cores, shuffle_partitions=max(2 * cores, 8), app_name=f"scale-{cores}"
+        cores=cores,
+        shuffle_partitions=max(2 * cores, 8),
+        app_name=f"scale-{cores}",
+        # the 2M corpus is 64 parquet files x ~4MB; the defaults
+        # (maxPartitionBytes=128MB + openCostInBytes=4MB) pack them into ~4
+        # input partitions, capping scan+annotate parallelism at 4 tasks
+        # regardless of cores — split finer so the content pass can use the
+        # whole machine (cluster deploys keep the defaults: real inputs are
+        # hundreds of GB with 128MB row groups)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(256 * 1024),
+        },
     )
     # identical input at every parallelism level: fixed slice count.
     # localCheckpoint truncates the generator's (huge) expression tree so
@@ -53,9 +65,12 @@ def worker(cores: int, n_docs: int) -> None:
     # side plan canonicalization of the embedded generator tree dominates.
     def corpus(n: int):
         # materialize to parquet and scan it back — the production input
-        # shape (columnar, off-heap pages). Holding millions of span-struct
-        # rows as deserialized JVM objects (persist/localCheckpoint) GC-
-        # thrashes at high thread counts; a parquet scan does not.
+        # shape (columnar pages on disk). run_suite owns the in-memory
+        # caching: it annotates the scan with the derived columns
+        # (fingerprint/content_key/size/flat text) and persists + eagerly
+        # populates that projection, so the measured pass includes the
+        # engine's single content pass — the phase that dominates a real
+        # 100 TB run and must scale with cores.
         base = f"/tmp/doccheck_bench/{n}"
         d_path, e_path = f"{base}/docs", f"{base}/expected"
         if not os.path.exists(d_path):
@@ -64,37 +79,39 @@ def worker(cores: int, n_docs: int) -> None:
             generate_expected_fingerprints(
                 spark.read.parquet(d_path)
             ).write.mode("overwrite").parquet(e_path)
-        # columnar cache (compressed CachedBatch byte arrays — GC-cheap,
-        # unlike deserialized row caches), warmed by a Dataset action so all
-        # 18 suite branches scan memory, not re-decode parquet
-        d = spark.read.parquet(d_path).persist()
-        d.count()
-        e = spark.read.parquet(e_path).persist()
-        e.count()
-        return d, e
+        return spark.read.parquet(d_path), spark.read.parquet(e_path)
 
     catalog = generate_media_catalog(spark)
 
-    def one_pass(d, e) -> float:
+    def one_pass(d, e, timings: dict | None = None) -> float:
+        # run_suite unpersists its own cache and returns materialized
+        # (checkpointed) violations/metrics; clearCache guards against any
+        # stray cached plans carrying over between passes
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         res = run_suite(
             d,
             media_catalog=catalog,
             expected_fingerprints=e,
             config=SuiteConfig(),
+            timings=timings,
         )
         res.violations.write.format("noop").mode("overwrite").save()
         res.metrics.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # warm-up pass on a small corpus (JVM JIT + codegen compile), then ONE
-    # measured pass over the full corpus: steady-state throughput is the
-    # metric, matching a long-running job
-    wd, we = corpus(20_000)
-    one_pass(wd, we)
+    # warm-up = ONE FULL pass over the measured corpus (C2 JIT of the ~50
+    # generated codegen classes only finishes under real row volume — a
+    # small-corpus warm-up left the first full pass 3x slower), then ONE
+    # measured pass: steady-state throughput is the metric, matching a
+    # long-running job. Input re-reads parquet and the suite re-derives +
+    # re-caches its annotated projection each pass (run_suite unpersists at
+    # exit), so the measured pass still contains the full content pipeline.
     docs, expected = corpus(n_docs)
     n = docs.count()
-    elapsed = one_pass(docs, expected)
+    one_pass(docs, expected)
+    sub: dict = {}
+    elapsed = one_pass(docs, expected, timings=sub)
 
     print(
         json.dumps(
@@ -103,6 +120,7 @@ def worker(cores: int, n_docs: int) -> None:
                 "docs": n,
                 "suite_sec": round(elapsed, 3),
                 "docs_per_sec": round(n / elapsed, 1),
+                **{f"t_{k}": v for k, v in sub.items()},
             }
         )
     )
@@ -128,10 +146,11 @@ def main() -> None:
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--docs", type=int, default=150_000)
     ap.add_argument("--pairs", type=str, default="8,32")
-    ap.add_argument("--repeat", type=int, default=2,
-                    help="interleaved repeats per level; best-of is reported "
-                         "(the sandbox host has uncontrolled co-tenant load, "
-                         "so the least-contended sample approximates capacity)")
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="interleaved repeats per level; the MEDIAN is "
+                         "reported (the sandbox host has uncontrolled "
+                         "co-tenant load; median of interleaved repeats is "
+                         "robust to one contended sample in either direction)")
     args = ap.parse_args()
 
     if args.worker is not None:
@@ -150,7 +169,11 @@ def main() -> None:
         for c in levels:
             samples.setdefault(c, []).append(run_one(c, args.docs))
 
-    best = {c: max(s["docs_per_sec"] for s in samples[c]) for c in levels}
+    import statistics
+
+    best = {
+        c: statistics.median(s["docs_per_sec"] for s in samples[c]) for c in levels
+    }
     results["samples"] = {
         str(c): [s["docs_per_sec"] for s in samples[c]] for c in levels
     }

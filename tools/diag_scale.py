@@ -48,9 +48,11 @@ def main() -> None:
     t["warm_total"] = round(time.perf_counter() - t0, 2)
 
     # measured pass, phase-split
+    sub: dict = {}
     t0 = time.perf_counter()
-    res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected, config=SuiteConfig())
+    res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected, config=SuiteConfig(), timings=sub)
     t["plan_build"] = round(time.perf_counter() - t0, 2)
+    t.update({f"suite_{k}": v for k, v in sub.items()})
     t0 = time.perf_counter()
     res.violations.write.format("noop").mode("overwrite").save()
     t["violations"] = round(time.perf_counter() - t0, 2)
