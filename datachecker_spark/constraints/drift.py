@@ -162,9 +162,13 @@ def ks_drift(
     probs = [i / grid_size for i in range(1, grid_size)]
     grid_row = base.agg(F.percentile_approx("x", probs, 10_000).alias("g")).collect()[0]
     cuts = sorted(set(grid_row["g"]))
-    grid_lit = F.array(*[F.lit(float(c)) for c in cuts])
-    # bucket = number of cut points <= x  (0..len(cuts)); O(|grid|) JVM-side
-    bucket = F.size(F.filter(grid_lit, lambda gv: gv <= F.col("x")))
+    # bucket = number of cut points <= x (0..len(cuts)), as a chain of
+    # codegen'd comparisons — the previous size(filter(array_lit, ...))
+    # form ran interpreted and materialized a |grid|-element array per row,
+    # which dominated the KS aggregation at corpus scale
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col("x") >= F.lit(float(c))).cast("int")
     counts = base.select("part", bucket.alias("b")).groupBy("part", "b").agg(
         F.count("*").alias("c")
     )

@@ -32,6 +32,7 @@ def _annotated(docs: DataFrame) -> DataFrame:
     size = F.col("size") if "size" in have else doc_size("spans")
     n_spans = F.col("n_spans") if "n_spans" in have else span_count("spans")
     fp = F.col("fp") if "fp" in have else fingerprint("spans")
+    n_media = F.col("n_media") if "n_media" in have else F.size(media_spans)
     return docs.select(
         "doc_id",
         "part",
@@ -39,7 +40,7 @@ def _annotated(docs: DataFrame) -> DataFrame:
         n_spans.alias("n_spans"),
         fp.alias("fp"),
         F.size(text_spans).alias("n_text_spans"),
-        F.size(media_spans).alias("n_media_spans"),
+        n_media.alias("n_media_spans"),
         F.size(F.filter(text_spans, lambda s: s["text"].isNull())).alias("n_null_text"),
         F.size(F.filter(media_spans, lambda s: s["media_ref"].isNull())).alias(
             "n_null_ref"

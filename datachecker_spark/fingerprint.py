@@ -60,18 +60,7 @@ def canonical_string(spans: Column | str = "spans") -> Column:
     if their absolute offsets differ (order is the invariant, per the
     BASELINE input_hint: span-sequence equality on kind/text/media_ref/order).
     """
-    return F.array_join(
-        F.transform(
-            ordered_spans(spans),
-            lambda s: F.concat_ws(
-                FIELD_SEP,
-                F.coalesce(s["kind"], F.lit(NULL_SENTINEL)),
-                F.coalesce(s["text"], F.lit(NULL_SENTINEL)),
-                F.coalesce(s["media_ref"], F.lit(NULL_SENTINEL)),
-            ),
-        ),
-        SPAN_SEP,
-    )
+    return _canonical_from_ordered(ordered_spans(spans))
 
 
 def fingerprint(spans: Column | str = "spans") -> Column:
@@ -109,10 +98,7 @@ def flattened_text(spans: Column | str = "spans") -> Column:
     the analog of the reference treating chunk boundaries as contiguous,
     /root/reference/src/modules/confidential.zig:66-88), so a pattern split
     across two spans still matches. Media spans contribute nothing."""
-    return F.array_join(
-        F.transform(ordered_spans(spans), lambda s: F.coalesce(s["text"], F.lit(""))),
-        "",
-    )
+    return _flat_from_ordered(ordered_spans(spans))
 
 
 # Derived columns every check family reads. Spark evaluates higher-order
@@ -126,26 +112,57 @@ def flattened_text(spans: Column | str = "spans") -> Column:
 # cache — walk once, reuse derived values
 # (/root/reference/src/modules/core.zig:225-241) — applied to derived
 # columns, not just rows.
-DERIVED_COLUMNS = ("fp", "content_key", "size", "n_spans", "_flat")
+DERIVED_COLUMNS = ("fp", "content_key", "size", "n_spans", "n_media", "_flat")
+
+
+def _canonical_from_ordered(ordered: Column) -> Column:
+    return F.array_join(
+        F.transform(
+            ordered,
+            lambda s: F.concat_ws(
+                FIELD_SEP,
+                F.coalesce(s["kind"], F.lit(NULL_SENTINEL)),
+                F.coalesce(s["text"], F.lit(NULL_SENTINEL)),
+                F.coalesce(s["media_ref"], F.lit(NULL_SENTINEL)),
+            ),
+        ),
+        SPAN_SEP,
+    )
+
+
+def _flat_from_ordered(ordered: Column) -> Column:
+    return F.array_join(
+        F.transform(ordered, lambda s: F.coalesce(s["text"], F.lit(""))), ""
+    )
 
 
 def annotate(docs):
     """Return docs with all DERIVED_COLUMNS present (no-op if already there).
 
-    The canonical serialization is built in its own projection so Catalyst's
-    CollapseProject (which refuses to inline non-cheap expressions referenced
-    more than once) evaluates it once and feeds both xxhash64 and sha2."""
+    Two staged projections keep each expensive intermediate evaluated ONCE:
+    the offset-sorted span projection feeds both the canonical serialization
+    and the flattened text, and the canonical string feeds both xxhash64 and
+    sha2. Catalyst's CollapseProject refuses to inline non-cheap expressions
+    referenced more than once, so the staging survives optimization. The
+    higher-order chain is interpreted (outside codegen) and allocation-heavy
+    — halving its evaluations measurably lifts the content pass's multi-core
+    ceiling (GC work competes with mutator threads for the same cores)."""
     missing = [c for c in DERIVED_COLUMNS if c not in docs.columns]
     if not missing:
         return docs
-    canon = docs.withColumn("_canon", canonical_string("spans"))
+    staged = docs.withColumn("_ord", ordered_spans("spans")).withColumn(
+        "_canon", _canonical_from_ordered(F.col("_ord"))
+    )
     derived = {
         "fp": F.xxhash64(F.col("_canon")),
         "content_key": F.sha2(F.col("_canon"), 256),
         "size": doc_size("spans"),
         "n_spans": span_count("spans"),
-        "_flat": flattened_text("spans"),
+        "n_media": F.size(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "media")
+        ),
+        "_flat": _flat_from_ordered(F.col("_ord")),
     }
-    return canon.select(
+    return staged.select(
         *docs.columns, *[derived[c].alias(c) for c in missing]
     )

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # block/shuffle/checkpoint cleanup rides on weak references — with a
+        # large heap the JVM may not GC for many minutes and stale blocks
+        # accumulate until memory pressure collapses throughput (measured:
+        # multi-pass 4M-doc suite runs pinned the heap and fell to <1 core
+        # of progress). The default periodicGC.interval is 30min; 2min keeps
+        # the ContextCleaner draining on long benchmark loops.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

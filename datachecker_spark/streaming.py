@@ -27,10 +27,16 @@ from datachecker_spark.constraints import confidential, predicates, stats
 def stream_violations(
     docs: DataFrame, *, large_doc_size: int = stats.DEFAULT_LARGE_DOC_SIZE,
     patterns: list[str] | None = None,
+    timestamp_now: str | None = None,
 ) -> DataFrame:
     """Apply the stateless checks to a (streaming or batch) docs frame.
     Returns the violations contract; works on readStream inputs because
-    every constraint here is a stateless projection/filter."""
+    every constraint here is a stateless projection/filter.
+
+    timestamp_now: fixed 'now' literal for the future/stale timestamp checks
+    (the reference samples now once at startup); passing it keeps the
+    predicate deterministic across micro-batches. Omitted → checks skipped
+    (current_timestamp would re-evaluate per batch)."""
     parts = [
         stats.check_empty_docs(docs),
         stats.check_large_docs(docs, threshold=large_doc_size),
@@ -42,6 +48,10 @@ def stream_violations(
         predicates.check_json_spans(docs),
         confidential.check_confidential(docs, patterns=patterns),
     ]
+    if timestamp_now is not None and any(
+        c in docs.columns for c in ("ingest_ts", "modified_ts")
+    ):
+        parts.append(stats.check_timestamps(docs, now=timestamp_now))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -95,3 +105,63 @@ def stats_doc_size_indicator(large_doc_size: int):
 
     size = doc_size("spans")
     return (size == 0) | (size > large_doc_size)
+
+
+RUNNING_RATE_SCHEMA = (
+    "part string, batch_docs long, total_docs long, "
+    "total_violations long, violation_rate double"
+)
+_RATE_STATE_SCHEMA = "total_docs long, total_violations long"
+
+
+def running_violation_rates(
+    docs: DataFrame, *, large_doc_size: int = stats.DEFAULT_LARGE_DOC_SIZE
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState): per-part
+    cumulative violation rate across micro-batches — the incremental analog
+    of the metrics table's per-partition verdict counts, for partitions that
+    arrive over many batches.
+
+    State per part = (total_docs, total_violations); each micro-batch folds
+    its Arrow batches into the running totals and emits one row with the
+    batch delta and lifetime rate. State size is O(n_parts) — bounded, so no
+    timeout/TTL is needed (the unbounded-state ops, exact global dedup and
+    drift, deliberately stay on the batch/lineage path; see module
+    docstring). Works identically on a static frame (one 'batch')."""
+    import pandas as pd
+
+    flagged = docs.select(
+        "part",
+        stats_doc_size_indicator(large_doc_size).cast("int").alias("is_violation"),
+    )
+
+    def update(key, pdfs, state):
+        (part,) = key
+        total_docs, total_viol = state.get if state.exists else (0, 0)
+        batch_docs = 0
+        batch_viol = 0
+        for pdf in pdfs:
+            batch_docs += len(pdf)
+            batch_viol += int(pdf["is_violation"].fillna(0).sum())
+        total_docs += batch_docs
+        total_viol += batch_viol
+        state.update((total_docs, total_viol))
+        yield pd.DataFrame(
+            [
+                {
+                    "part": part,
+                    "batch_docs": batch_docs,
+                    "total_docs": total_docs,
+                    "total_violations": total_viol,
+                    "violation_rate": (total_viol / total_docs) if total_docs else 0.0,
+                }
+            ]
+        )
+
+    return flagged.groupBy("part").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_RATE_SCHEMA,
+        stateStructType=_RATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -128,6 +128,52 @@ def test_streaming_end_to_end(spark, tmp_path):
     assert ("confidential", "secret1") in got
 
 
+def test_stateful_running_rates(spark, tmp_path):
+    """applyInPandasWithState: cumulative per-part violation rate carries
+    state ACROSS micro-batches — two file drops, second emission must
+    include the first batch's totals."""
+    from datachecker_spark.streaming import running_violation_rates
+
+    src = str(tmp_path / "state_src")
+    batch1 = make_docs(
+        spark,
+        [
+            ("a1", [("text", "fine", None, 0)], "p0"),
+            ("a2", [], "p0"),  # empty → violation
+        ],
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        running_violation_rates(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_rates")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2 = make_docs(
+            spark,
+            [
+                ("b1", [("text", "ok", None, 0)], "p0"),
+                ("b2", [("text", "ok", None, 0)], "p0"),
+            ],
+        )
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select * from running_rates order by total_docs"
+    ).collect()
+    # first emission: 2 docs, 1 violation; second carries state: 4 docs total
+    assert rows[0]["total_docs"] == 2 and rows[0]["total_violations"] == 1
+    last = rows[-1]
+    assert last["total_docs"] == 4 and last["total_violations"] == 1
+    assert abs(last["violation_rate"] - 0.25) < 1e-9
+
+
 def test_windowed_verdicts_streaming(spark, tmp_path):
     """Watermarked windowed aggregation over a doc stream with event time."""
     docs = make_docs(spark, _stream_docs_rows())

@@ -86,8 +86,13 @@ def worker(cores: int, n_docs: int) -> None:
     def one_pass(d, e, timings: dict | None = None) -> float:
         # run_suite unpersists its own cache and returns materialized
         # (checkpointed) violations/metrics; clearCache guards against any
-        # stray cached plans carrying over between passes
+        # stray cached plans carrying over between passes, and the explicit
+        # JVM GC forces the ContextCleaner's weak references to drain so the
+        # previous pass's checkpoint/shuffle blocks are actually freed
+        # before the next pass allocates (without it, back-to-back full
+        # passes accumulated stale blocks until the heap pinned)
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         res = run_suite(
             d,
