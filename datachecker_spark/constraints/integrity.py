@@ -193,15 +193,27 @@ def check_missing_expectations(docs: DataFrame, expected: DataFrame) -> DataFram
 
 
 def _computed_column(docs: DataFrame, algos_present: list[str]) -> Column:
-    """when-chain computing the hash selected by the row's `algo`. Only the
-    branches for algorithms actually present are compiled into the plan;
-    xxhash64/sha256 reuse materialized fp/content_key when available."""
+    """Hash selected by the row's `algo`: a when-chain for the JVM tier
+    (codegen), plus at most ONE pandas-UDF invocation for the whole hashlib
+    tier. The UDF already dispatches per-row on the algo value — putting one
+    hx(lit(algo), ...) call in each when-branch looks lazy but is not:
+    Spark's ExtractPythonUDFs hoists every UDF call into an unconditional
+    ArrowEvalPython projection, so K hashlib branches made every row pay K
+    digests + K Arrow transfers of the canonical string. One call = one
+    ArrowEvalPython node (asserted in tests/test_plans.py); rows whose algo
+    is outside the hashlib tier cost a dict miss inside the UDF.
+    Only branches for algorithms actually present are compiled into the
+    plan; xxhash64/sha256 reuse materialized fp/content_key when available."""
     have = set(docs.columns)
     jvm = _jvm_hashes()
     canon = canonical_string("spans")
     expr = F.lit(None).cast("string")
     hashlib_present = [a for a in algos_present if a in HASHLIB_ALGOS]
-    hx = hashlib_hash_udf() if hashlib_present else None
+    if hashlib_present:
+        hx = hashlib_hash_udf()
+        expr = F.when(
+            F.col("algo").isin(hashlib_present), hx(F.col("algo"), canon)
+        ).otherwise(expr)
     for a in algos_present:
         if a == "xxhash64" and "fp" in have:
             branch = F.col("fp").cast("string")
@@ -209,10 +221,8 @@ def _computed_column(docs: DataFrame, algos_present: list[str]) -> Column:
             branch = F.col("content_key")
         elif a in jvm:
             branch = jvm[a](canon)
-        elif a in HASHLIB_ALGOS:
-            branch = hx(F.lit(a), canon)
         else:
-            continue  # unsupported → stays NULL
+            continue  # hashlib tier handled above; unsupported → stays NULL
         expr = F.when(F.col("algo") == a, branch).otherwise(expr)
     return expr
 

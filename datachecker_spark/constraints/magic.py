@@ -187,8 +187,10 @@ def check_magic(
 
 # --- compression-quality rules over real bytes (§2.8) -----------------------
 
-# reference dispatch set: compressed.zig:15-41
-COMPRESSION_EXTS = (".bz2", ".gz", ".png", ".zip", ".jar", ".docx", ".epub",
+# reference dispatch set, exact parity (compressed.zig:15-24): bz2, gz, png
+# + the zip-container family the reference routes to checkZIP (docx, epub,
+# pptx, xlsx, zip). No .jar — the reference does not check jars.
+COMPRESSION_EXTS = (".bz2", ".gz", ".png", ".zip", ".docx", ".epub",
                     ".pptx", ".xlsx")
 
 
@@ -204,7 +206,12 @@ def compression_verdict_expr(ext: Column, content: Column) -> Column:
       the first 'IDAT' within the 128-byte post-magic window must have
       FLEVEL bits 0xC0 (max compression) (:74-105); IDAT found past byte
       122 of the window → ERROR like the reference's read failure
+    * payload shorter than the header a rule needs → ERROR, mirroring the
+      reference's readExactChunk failure path (compressed.zig:55-57,70-72):
+      without the explicit branch _byte_val returns NULL past end-of-content
+      and a truncated file would silently pass
     """
+    n = F.length(content)
     bz2_bad = _byte_val(content, 3) != F.lit(ord("9"))
     gz_bad = _byte_val(content, 8) != F.lit(2)
     zip_method = _byte_val(content, 8)
@@ -225,11 +232,20 @@ def compression_verdict_expr(ext: Column, content: Column) -> Column:
         return F.struct(F.lit(s).alias(sev), F.lit(r).alias(reason))
 
     return (
-        F.when(ext == ".bz2", F.when(bz2_bad, verdict(SEV_WARNING, "bzip2 level below 9")))
-        .when(ext == ".gz", F.when(gz_bad, verdict(SEV_WARNING, "gzip XFL not max compression")))
+        F.when(
+            ext == ".bz2",
+            F.when(n < 4, verdict(SEV_ERROR, "truncated bzip2 header"))
+            .when(bz2_bad, verdict(SEV_WARNING, "bzip2 level below 9")),
+        )
+        .when(
+            ext == ".gz",
+            F.when(n < 9, verdict(SEV_ERROR, "truncated gzip header"))
+            .when(gz_bad, verdict(SEV_WARNING, "gzip XFL not max compression")),
+        )
         .when(
             zip_like,
-            F.when(zip_method > 8, verdict(SEV_CHECK, "zip method uncommon"))
+            F.when(n < 9, verdict(SEV_ERROR, "truncated zip header"))
+            .when(zip_method > 8, verdict(SEV_CHECK, "zip method uncommon"))
             .when(zip_method.between(1, 7), verdict(SEV_WARNING, "zip method suboptimal")),
         )
         .when(

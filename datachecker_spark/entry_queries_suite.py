@@ -417,18 +417,26 @@ def integrity_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     typed = docs.select("doc_id", algo.alias("algo"), "text")
     jvm = _jvm_hashes()
-    hx = hashlib_hash_udf()
     computed = F.lit(None).cast("string")
     from datachecker_spark.constraints.integrity import HASHLIB_ALGOS
 
+    # NULL text coalesced to '' so the verdict depends only on the algo —
+    # the DuckDB oracle predicts verdicts structurally, and md5(NULL)=NULL
+    # would otherwise masquerade as unsupported_algo for a NULL-text doc
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    hashlib_present = [a for a in REFERENCE_ALGOS if a in HASHLIB_ALGOS]
+    if hashlib_present:
+        # ONE UDF invocation for the whole hashlib tier (ExtractPythonUDFs
+        # hoists every call unconditionally — per-algo branches would hash
+        # each row ~15x; see constraints/integrity._computed_column)
+        hx = hashlib_hash_udf()
+        computed = F.when(
+            F.col("algo").isin(hashlib_present), hx(F.col("algo"), payload)
+        ).otherwise(computed)
     for a in REFERENCE_ALGOS:
-        if a in jvm:
-            branch = jvm[a](F.col("text"))
-        elif a in HASHLIB_ALGOS:
-            branch = hx(F.lit(a), F.col("text"))
-        else:
+        if a not in jvm:
             continue
-        computed = F.when(F.col("algo") == a, branch).otherwise(computed)
+        computed = F.when(F.col("algo") == a, jvm[a](payload)).otherwise(computed)
     t = typed.withColumn("_computed", computed)
     expected = F.when(F.col("doc_id") % 9 == 0, F.lit("corrupt")).otherwise(
         F.col("_computed")
@@ -494,21 +502,25 @@ def magic_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(x) for x in _MAGIC_FMTS]),
         (F.pmod(F.col("doc_id"), F.lit(10)) + 1).cast("int"),
     )
-    hdr_hex = F.lit(None).cast("string")
-    for x in _MAGIC_FMTS:
-        hdr_hex = F.when(fmt == x, F.lit(_MAGIC_HEADERS_HEX[x])).otherwise(hdr_hex)
     corrupted = F.col("doc_id") % 13 == 0
-    # corrupt by flipping the first byte to 0xFF.. wait: mp4 starts 00 → use
-    # an invalid sentinel byte 0xEE which breaks every leading signature;
-    # for deep-offset formats (tar/iso) flip the signature byte itself
+    # corrupt with an invalid sentinel byte 0xEE which breaks every leading
+    # signature (mp4 legitimately starts with 0x00, so flipping to 0x00 would
+    # not corrupt it); for deep-offset formats (tar/iso) flip the signature
+    # byte itself
     def _flip(hexstr: str, fmt_name: str) -> str:
         off = {"tar": 257, "iso": 32769}.get(fmt_name.lstrip("."), 0)
         return hexstr[: off * 2] + "ee" + hexstr[off * 2 + 2 :]
 
-    bad_hex = F.lit(None).cast("string")
+    # specimens as BINARY PLAN CONSTANTS (bytes.fromhex on the driver): the
+    # earlier form unhex'd a 65 KB hex-string literal per ROW for the
+    # deep-offset formats (iso pads to +32769), which alone made this query
+    # the bench's second-slowest — a constant binary select costs only the
+    # output-row copy
+    content = F.lit(None).cast("binary")
     for x in _MAGIC_FMTS:
-        bad_hex = F.when(fmt == x, F.lit(_flip(_MAGIC_HEADERS_HEX[x], x))).otherwise(bad_hex)
-    content = F.unhex(F.when(corrupted, bad_hex).otherwise(hdr_hex))
+        good = F.lit(bytearray(bytes.fromhex(_MAGIC_HEADERS_HEX[x])))
+        bad = F.lit(bytearray(bytes.fromhex(_flip(_MAGIC_HEADERS_HEX[x], x))))
+        content = F.when(fmt == x, F.when(corrupted, bad).otherwise(good)).otherwise(content)
     typed = docs.select("doc_id", fmt.alias("fmt"), content.alias("content"))
     valid = format_valid_expr(F.col("fmt"), F.col("content"))
     return typed.where(valid == False).select("doc_id", "fmt")  # noqa: E712

@@ -74,10 +74,12 @@ class SuiteConfig:
     drift: bool = True
     drift_alpha: float = 0.01
     n_salts: int = 64
-    # timestamp checks (stats.zig:165-187); now is a fixed plan literal —
-    # the reference samples 'now' once at startup (src/main.zig:399-403)
+    # timestamp checks (stats.zig:165-187); `now` is a fixed plan literal.
+    # None (default) = sample the wall clock ONCE per run_suite call — the
+    # reference's sample-once-at-startup semantics (src/main.zig:399-403).
+    # Tests/benches pin an explicit literal for deterministic verdicts.
     timestamps: bool = True
-    timestamp_now: str = "2024-06-01 00:00:00"
+    timestamp_now: str | None = None
     max_age_days: int = stats.DEFAULT_MAX_AGE_DAYS
 
     # checks whose verdicts depend on the WHOLE corpus, not one partition:
@@ -224,10 +226,16 @@ def run_suite(
         parts.append(integrity.check_missing_expectations(docs, expected_fingerprints))
     has_ts = any(c in docs.columns for c in ("ingest_ts", "modified_ts"))
     if cfg.timestamps and has_ts:
+        # sample 'now' once per run (reference: once at process startup,
+        # src/main.zig:399-403) unless the config pins a literal — a
+        # current_timestamp() column would re-evaluate per task/batch
+        now = cfg.timestamp_now
+        if now is None:
+            import datetime as _dt
+
+            now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
         parts.append(
-            stats.check_timestamps(
-                docs, now=cfg.timestamp_now, max_age_days=cfg.max_age_days
-            )
+            stats.check_timestamps(docs, now=now, max_age_days=cfg.max_age_days)
         )
     if cfg.partition_sizes:
         parts.append(

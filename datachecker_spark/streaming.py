@@ -58,35 +58,66 @@ def stream_violations(
     return out
 
 
+_WIN_SEP = "\x1f"  # cannot appear in real partition names
+
+
 def windowed_verdicts(
     docs_with_ts: DataFrame,
     *,
     window: str = "5 minutes",
-    slide: str | None = None,
     watermark: str = "10 minutes",
     large_doc_size: int = stats.DEFAULT_LARGE_DOC_SIZE,
+    patterns: list[str] | None = None,
+    timestamp_now: str | None = None,
 ) -> DataFrame:
-    """Watermarked per-(window, part) violation counts over a doc stream
-    carrying an `ts` event-time column: the streaming analog of the
-    metrics table."""
-    v = stream_violations(
-        docs_with_ts.withWatermark("ts", watermark),
-        large_doc_size=large_doc_size,
-    )
-    # violations drop the ts column (contract projection) — recompute counts
-    # from the annotated stream instead: join back is not stream-friendly, so
-    # aggregate the indicator projection directly
-    flagged = docs_with_ts.withWatermark("ts", watermark).select(
-        "ts",
+    """Watermarked per-(window, part) counts over a doc stream carrying a
+    `ts` event-time column: the streaming analog of the metrics table.
+
+    `violations` counts the violation ROWS emitted by the FULL stateless
+    check set (stream_violations — the same constraint functions as batch,
+    nothing re-implemented), so one document can contribute several rows,
+    exactly like the batch metrics table. The plumbing trick that keeps the
+    checks untouched: every check carries `part` through its contract
+    projection, so the doc's tumbling-window bucket is encoded INTO `part`
+    before the checks run and decoded after — no stream-stream join, no
+    second implementation of any predicate. Tumbling windows only (the
+    bucket is computed per doc); doc arrivals and violation rows are
+    self-unioned and aggregated in ONE watermarked groupBy.
+    """
+    win_start = F.window("ts", window)["start"]
+    enc = docs_with_ts.withColumn(
         "part",
-        (stats_doc_size_indicator(large_doc_size)).alias("is_violation"),
+        F.concat_ws(
+            _WIN_SEP,
+            F.col("part"),
+            F.unix_timestamp(win_start).cast("string"),
+        ),
     )
-    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    v = stream_violations(
+        enc,
+        large_doc_size=large_doc_size,
+        patterns=patterns,
+        timestamp_now=timestamp_now,
+    )
+    dec = F.split(F.col("part"), _WIN_SEP)
+    v_rows = v.select(
+        dec.getItem(0).alias("part"),
+        F.timestamp_seconds(dec.getItem(1).cast("long")).alias("bucket_ts"),
+        F.lit(0).alias("is_doc"),
+        F.lit(1).alias("is_violation"),
+    )
+    d_rows = docs_with_ts.select(
+        "part",
+        win_start.alias("bucket_ts"),
+        F.lit(1).alias("is_doc"),
+        F.lit(0).alias("is_violation"),
+    )
+    u = d_rows.unionByName(v_rows).withWatermark("bucket_ts", watermark)
     return (
-        flagged.groupBy(win.alias("win"), "part")
+        u.groupBy(F.window("bucket_ts", window).alias("win"), "part")
         .agg(
-            F.count("*").alias("docs_seen"),
-            F.sum(F.col("is_violation").cast("long")).alias("violations"),
+            F.sum("is_doc").alias("docs_seen"),
+            F.sum("is_violation").alias("violations"),
         )
         .select(
             F.col("win.start").alias("window_start"),

@@ -121,7 +121,12 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
     ).where(F.size("sh") > 0)
-    base = base.persist()
+    # materialize the shingle sets once (read 3x below: signatures + both
+    # verify sides). Lazy localCheckpoint, NOT persist: a bare persist() has
+    # no unpersist point in a lazy API and leaked cached partitions across
+    # calls in long-lived sessions — checkpoint blocks are reclaimed by the
+    # ContextCleaner as soon as the result DataFrame is dropped
+    base = base.localCheckpoint(eager=False)
     # signatures via the relational (codegen'd) path; candidates carry ONLY
     # ids through the band explode / self-join / dedup — shuffling the
     # shingle arrays 16× per doc is the data amplification that kills this

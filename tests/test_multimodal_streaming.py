@@ -203,7 +203,18 @@ def test_windowed_verdicts_streaming(spark, tmp_path):
     q.stop()
     rows = {(r["part"], str(r["window_start"])): r
             for r in spark.sql("select * from stream_wv").collect()}
+    # windowed `violations` must equal the BATCH stateless check set's
+    # violation-row count per part (each part's docs share one window here):
+    # the streaming path reuses the same constraint functions, so the two
+    # pipelines must agree row-for-row
+    expected = {
+        r["part"]: r["n"]
+        for r in stream_violations(docs, large_doc_size=10_000)
+        .groupBy("part").agg(F.count("*").alias("n")).collect()
+    }
     p1 = rows[("p1", "2024-01-01 00:05:00")]
-    assert p1["docs_seen"] == 2 and p1["violations"] == 1  # empty1
+    assert p1["docs_seen"] == 2 and p1["violations"] == expected["p1"]
+    assert expected["p1"] >= 2  # confidential (secret1) + empty_doc (empty1)
     p0 = rows[("p0", "2024-01-01 00:00:00")]
-    assert p0["docs_seen"] == 2 and p0["violations"] == 0  # size checks only
+    assert p0["docs_seen"] == 2 and p0["violations"] == expected.get("p0", 0)
+    assert expected.get("p0", 0) >= 1  # name_rules (bad..name)

@@ -57,7 +57,7 @@ def test_suite_plan_no_row_python(spark):
         docs,
         media_catalog=generate_media_catalog(spark),
         expected_fingerprints=generate_expected_fingerprints(docs),
-        config=SuiteConfig(),
+        config=SuiteConfig(timestamp_now="2024-06-01 00:00:00"),
     )
     # violations is checkpointed; audit the metrics plan + a fresh branch
     from datachecker_spark.constraints.duplicates import check_duplicates

@@ -98,7 +98,7 @@ def worker(cores: int, n_docs: int) -> None:
             d,
             media_catalog=catalog,
             expected_fingerprints=e,
-            config=SuiteConfig(),
+            config=SuiteConfig(timestamp_now="2024-06-01 00:00:00"),
             timings=timings,
         )
         res.violations.write.format("noop").mode("overwrite").save()

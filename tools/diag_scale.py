@@ -42,7 +42,7 @@ def main() -> None:
 
     # warm pass
     t0 = time.perf_counter()
-    res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected, config=SuiteConfig())
+    res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected, config=SuiteConfig(timestamp_now="2024-06-01 00:00:00"))
     res.violations.write.format("noop").mode("overwrite").save()
     res.metrics.write.format("noop").mode("overwrite").save()
     t["warm_total"] = round(time.perf_counter() - t0, 2)
@@ -50,7 +50,7 @@ def main() -> None:
     # measured pass, phase-split
     sub: dict = {}
     t0 = time.perf_counter()
-    res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected, config=SuiteConfig(), timings=sub)
+    res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected, config=SuiteConfig(timestamp_now="2024-06-01 00:00:00"), timings=sub)
     t["plan_build"] = round(time.perf_counter() - t0, 2)
     t.update({f"suite_{k}": v for k, v in sub.items()})
     t0 = time.perf_counter()

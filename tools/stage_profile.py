@@ -55,10 +55,10 @@ def main() -> None:
     import time
 
     res = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected,
-                    config=SuiteConfig())
+                    config=SuiteConfig(timestamp_now="2024-06-01 00:00:00"))
     t_cut = time.time() * 1000
     res2 = run_suite(docs, media_catalog=catalog, expected_fingerprints=expected,
-                     config=SuiteConfig(), timings=(t2 := {}))
+                     config=SuiteConfig(timestamp_now="2024-06-01 00:00:00"), timings=(t2 := {}))
     print(json.dumps({"measured_pass": t2}))
     spark.stop()
 
