@@ -185,6 +185,44 @@ def check_magic(
     ).select(*VIOLATION_COLS)
 
 
+CHECK_NO_EXT = "no_extension"
+
+
+def check_no_extension(
+    df: DataFrame,
+    *,
+    id_col: str = "media_ref",
+    content_col: str = "content",
+    part: str = "__media__",
+) -> DataFrame:
+    """Rows whose ref has NO extension: CHECK when the content's magic bytes
+    identify a format ("no extension, content infers as X"), else WARNING —
+    the reference's checkNoExtension (magic_numbers.zig:259-273: findType hit
+    → print.check with the type, miss → print.warning).
+
+    Extension detection mirrors std.fs.path.extension: a leading dot alone
+    (dotfiles like '.bashrc') is NOT an extension — the match requires at
+    least one character before the final dot."""
+    base = F.element_at(F.split(F.col(id_col), "/"), -1)
+    has_ext = F.regexp_like(base, F.lit(r".\.[^.]+$"))
+    inferred = infer_type_expr(F.col(content_col))
+    flagged = df.where(~has_ext).withColumn("_inferred", inferred)
+    return flagged.select(
+        F.lit(CHECK_NO_EXT).alias("check"),
+        F.when(F.col("_inferred").isNotNull(), F.lit(SEV_CHECK))
+        .otherwise(F.lit(SEV_WARNING))
+        .alias("severity"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.lit(part).alias("part"),
+        F.when(
+            F.col("_inferred").isNotNull(),
+            F.format_string("no extension, content infers as %s", F.col("_inferred")),
+        )
+        .otherwise(F.lit("no extension, unknown content type"))
+        .alias("detail"),
+    ).select(*VIOLATION_COLS)
+
+
 # --- compression-quality rules over real bytes (§2.8) -----------------------
 
 # reference dispatch set, exact parity (compressed.zig:15-24): bz2, gz, png

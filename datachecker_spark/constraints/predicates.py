@@ -68,6 +68,24 @@ def check_name_length(
     return as_violations(flagged, CHECK_NAME_LEN, SEV_WARNING, detail)
 
 
+CHECK_REF_LEN = "ref_path_length"
+MAX_FULL_PATH_LEN = 1024  # MAX_FULL_PATH_SIZE analog (config.zig:72)
+
+
+def check_ref_path_length(
+    docs: DataFrame, max_len: int = MAX_FULL_PATH_LEN
+) -> DataFrame:
+    """WARNING per media_ref whose full path length exceeds max_len — the
+    reference's fullPathSize check (stats.zig:231-239) applied to the
+    engine's path-like refs (check_name_length covers only doc_id)."""
+    r = ref_rows(docs)
+    flagged = r.where(F.length("ref") > max_len)
+    detail = F.format_string(
+        "ref path length %d > %d: %s", F.length("ref"), F.lit(max_len), F.col("ref")
+    )
+    return as_violations(flagged, CHECK_REF_LEN, SEV_WARNING, detail)
+
+
 # --- temp / legacy media_ref tags --------------------------------------------
 
 CHECK_TEMP = "temp_refs"

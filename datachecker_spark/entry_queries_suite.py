@@ -969,3 +969,99 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 0).cast("long").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-path length + no-extension inference (§2.5 tail: stats.zig:231-239,
+# magic_numbers.zig:259-273)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ref_path_length",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           2 + (doc_id % 29) * 50 AS ref_len
+    FROM documents
+    WHERE 2 + (doc_id % 29) * 50 > 1024
+    """,
+)
+def ref_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_ref full-path length cap (reference fullPathSize,
+    stats.zig:231-239, MAX_FULL_PATH_SIZE=1024 config.zig:72): refs of
+    planted modular lengths run through the ENGINE's check_ref_path_length
+    over a span-structured frame; the oracle predicts the offender set from
+    the same length arithmetic."""
+    from datachecker_spark.constraints.predicates import check_ref_path_length
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    ref = F.concat(F.lit("m/"), F.repeat(F.lit("a"), (F.pmod(F.col("doc_id"), F.lit(29)) * 50).cast("int")))
+    framed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                ref.alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit("p0").alias("part"),
+    )
+    v = check_ref_path_length(framed, max_len=1024)
+    out = v.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return out.withColumn(
+        "ref_len", F.lit(2) + F.pmod(F.col("doc_id"), F.lit(29)) * 50
+    )
+
+
+@query(
+    "no_ext_infer",
+    oracle="""
+    WITH blobs AS (
+      SELECT doc_id,
+             doc_id % 3 AS refmod,
+             (['.png', '.pdf', '.zip', NULL])[(doc_id % 4) + 1] AS inferred
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN inferred IS NULL THEN 'WARNING' ELSE 'CHECK' END AS severity,
+           CASE WHEN inferred IS NULL THEN 'no extension, unknown content type'
+                ELSE 'no extension, content infers as ' || inferred END AS detail
+    FROM blobs
+    WHERE refmod <> 1
+    """,
+)
+def no_ext_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-extension check wired to magic-byte type inference (reference
+    checkNoExtension, magic_numbers.zig:259-273: findType hit -> CHECK with
+    the type, miss -> WARNING). Refs without an extension (including the
+    dotfile case '.hiddenN', which std.fs.path.extension treats as
+    extensionless) get content carrying a real magic prefix (png/pdf/zip) or
+    garbage; the ENGINE's check_no_extension runs over the binary column and
+    the oracle predicts severity + detail structurally."""
+    from datachecker_spark.constraints.magic import check_no_extension
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    refmod = F.pmod(F.col("doc_id"), F.lit(3))
+    ref = (
+        F.when(refmod == 0, F.concat(F.lit("m/blob"), F.col("doc_id").cast("string")))
+        .when(refmod == 1, F.concat(F.lit("m/file"), F.col("doc_id").cast("string"), F.lit(".bin")))
+        .otherwise(F.concat(F.lit("m/.hidden"), F.col("doc_id").cast("string")))
+    )
+    specimens = [
+        bytes.fromhex("89504e470d0a1a0a") + b"\x00\x00\x00\x0dIHDR",  # png
+        b"%PDF-1.7\n%\xe2\xe3\xcf\xd3",                               # pdf
+        b"PK\x03\x04" + b"\x00" * 12,                                 # zip
+        b"XXXXXXXXXXXX",                                              # garbage
+    ]
+    content = F.element_at(
+        F.array(*[F.lit(bytearray(s)) for s in specimens]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    blobs = docs.select("doc_id", ref.alias("media_ref"), content.alias("content"))
+    v = check_no_extension(blobs)
+    return v.select(
+        F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "severity",
+        "detail",
+    )

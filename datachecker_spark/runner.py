@@ -56,6 +56,9 @@ class SuiteConfig:
     name_rules: bool = True
     name_length: bool = True
     max_name_len: int = predicates.MAX_NAME_LEN
+    # media_ref full-path length (stats.zig:231-239 fullPathSize)
+    ref_path_length: bool = True
+    max_path_len: int = predicates.MAX_FULL_PATH_LEN
     temp_refs: bool = True
     legacy_refs: bool = True
     kind_consistency: bool = True
@@ -121,6 +124,8 @@ class SuiteConfig:
             names.append(predicates.CHECK_NAME_RULES)
         if self.name_length:
             names.append(predicates.CHECK_NAME_LEN)
+        if self.ref_path_length:
+            names.append(predicates.CHECK_REF_LEN)
         if self.temp_refs:
             names.append(predicates.CHECK_TEMP)
         if self.legacy_refs:
@@ -202,6 +207,8 @@ def run_suite(
         parts.append(predicates.check_doc_names(docs))
     if cfg.name_length:
         parts.append(predicates.check_name_length(docs, max_len=cfg.max_name_len))
+    if cfg.ref_path_length:
+        parts.append(predicates.check_ref_path_length(docs, max_len=cfg.max_path_len))
     if cfg.temp_refs:
         parts.append(predicates.check_temp_refs(docs))
     if cfg.legacy_refs:

@@ -18,13 +18,16 @@ from datachecker_spark.textops import ngram_jaccard_pairs
 
 
 def test_table_breadth_matches_reference():
-    # reference counts: ~105 temp extensions (useless.zig:76-192), 6 exact
-    # names (:44-51), 14 start/end pairs (:56-71), 110 legacy formats
-    # (:195-306), ~220 confidential literals (config.zig:98-172)
-    assert len(TEMP_EXTENSIONS) >= 100
+    # EXACT reference counts, verified by scripted diff against the zig
+    # tables (round 3): 101 temp extensions (useless.zig:76-192, zero
+    # symmetric difference), 6 exact names (:44-51), 14 start/end pairs
+    # (:56-71), 110 legacy formats (:195-306, zero symmetric difference),
+    # ~220 confidential literals (config.zig:98-172)
+    assert len(TEMP_EXTENSIONS) == 101
+    assert len(set(TEMP_EXTENSIONS)) == 101
     assert len(TEMP_EXACT_NAMES) == 6
     assert len(TEMP_START_END) == 14
-    assert len(LEGACY_FORMATS) >= 106
+    assert len(LEGACY_FORMATS) == 110
     assert len(DEFAULT_PATTERNS) >= 220
     assert len(TEMP_PATH_FRAGMENTS) >= 14
 

@@ -181,3 +181,49 @@ def test_format_valid_tri_state(spark):
     ).select("media_ref", format_valid_expr(F.lower("ext"), F.col("content")).alias("v"))
     got = {r["media_ref"]: r["v"] for r in df.collect()}
     assert got == {"a": True, "b": False, "c": None}
+
+
+def test_truncated_compression_headers(spark):
+    """Short payloads ERROR instead of silently passing (compressed.zig
+    readExactChunk failure path, :55-57/:70-72)."""
+    rows = [
+        ("t1", ".bz2", bytes.fromhex("425a68")),          # 3 bytes < 4
+        ("t2", ".gz", bytes.fromhex("1f8b0800")),         # 4 bytes < 9
+        ("t3", ".zip", bytes.fromhex("504b0304")),        # 4 bytes < 9
+        ("t4", ".bz2", b"BZh9"),                          # complete, max level
+        ("t5", ".gz", bytes.fromhex("1f8b08000000000002ff")),  # complete, XFL=2
+    ]
+    df = spark.createDataFrame(
+        [(r, e, bytearray(c)) for r, e, c in rows],
+        "media_ref string, ext string, content binary",
+    )
+    from datachecker_spark.constraints.magic import check_compression
+
+    got = {r["doc_id"]: (r["severity"], r["detail"]) for r in check_compression(df).collect()}
+    assert got["t1"] == ("ERROR", "truncated bzip2 header")
+    assert got["t2"] == ("ERROR", "truncated gzip header")
+    assert got["t3"] == ("ERROR", "truncated zip header")
+    assert "t4" not in got and "t5" not in got
+
+
+def test_check_no_extension(spark):
+    """checkNoExtension parity (magic_numbers.zig:259-273): CHECK when magic
+    identifies the content, WARNING otherwise; dotfiles count as
+    extensionless; refs with extensions are not flagged."""
+    png = bytes.fromhex("89504e470d0a1a0a") + b"\x00\x00\x00\x0dIHDR"
+    rows = [
+        ("m/blob1", png),              # no ext, png magic -> CHECK
+        ("m/blob2", b"XXXXXXXX"),      # no ext, unknown -> WARNING
+        ("m/.hidden", png),            # dotfile = extensionless -> CHECK
+        ("m/file.bin", b"XXXXXXXX"),   # has extension -> not flagged
+    ]
+    df = spark.createDataFrame(
+        [(r, bytearray(c)) for r, c in rows], "media_ref string, content binary"
+    )
+    from datachecker_spark.constraints.magic import check_no_extension
+
+    got = {r["doc_id"]: (r["severity"], r["detail"]) for r in check_no_extension(df).collect()}
+    assert got["m/blob1"] == ("CHECK", "no extension, content infers as .png")
+    assert got["m/blob2"] == ("WARNING", "no extension, unknown content type")
+    assert got["m/.hidden"][0] == "CHECK"
+    assert "m/file.bin" not in got

@@ -165,3 +165,24 @@ def test_check_drift_violations(spark):
     assert ("drift_chi2", "p_shift") in got
     assert ("drift_ks", "p_shift") in got
     assert all(p == "p_shift" for _, p in got)
+
+
+def test_ref_path_length(spark):
+    from datachecker_spark.constraints.predicates import check_ref_path_length
+
+    def doc(doc_id, ref):
+        return (doc_id, [("media", None, ref, 0)], "p0")
+
+    rows = [
+        doc("d1", "m/" + "a" * 2000),   # over the cap
+        doc("d2", "m/short"),
+        doc("d3", "m/" + "b" * 1023),   # 1025 chars -> over
+        doc("d4", "m/" + "c" * 1000),   # 1002 chars -> under
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, part string",
+    )
+    got = {r["doc_id"] for r in check_ref_path_length(df, max_len=1024).collect()}
+    assert got == {"d1", "d3"}
