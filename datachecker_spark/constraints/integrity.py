@@ -29,10 +29,13 @@ Three tiers:
   parameterized blake2b{128..512}/blake2s{128..256} (hashlib digest_size
   sets the BLAKE2 parameter block, matching Zig's Blake2b128 etc.).
   Hashing inside the UDF is OpenSSL C code over Arrow-batched rows.
-* optional: blake3 (if the `blake3` wheel is present) — ascon256 has no
-  public Python implementation here; both degrade to an `unsupported_algo`
-  CHECK verdict rather than a crash, and the dispatch is the extension
-  point.
+* blake3 + ascon256 — the native `blake3` wheel when importable, else the
+  pure-Python public-spec implementations in `datachecker_spark.hashes`
+  (KAT-anchored to the reference's own fixtures,
+  tests/integrity/ok.blake3 / ok.ascon256). Slow tier (~0.5 MB/s
+  interpreted) but correct — full 26/26 parity with the reference's
+  dispatch map; an algo string outside the map still degrades to an
+  `unsupported_algo` CHECK verdict rather than a crash.
 
 Only the algorithms actually present in the expectation table are compiled
 into the plan (driver peeks at distinct(algo), a tiny aggregate), so the
@@ -93,12 +96,18 @@ _HASHLIB_SPECS = {
     "blake2s256": lambda: hashlib.blake2s(digest_size=32),
 }
 
-try:  # optional wheel; absent in this image
+try:  # native wheel preferred when present (C/Rust, SIMD, multi-threaded)
     import blake3 as _blake3
 
     _HASHLIB_SPECS["blake3"] = _blake3.blake3
 except ImportError:
-    pass
+    from datachecker_spark.hashes import blake3_ctor
+
+    _HASHLIB_SPECS["blake3"] = blake3_ctor
+
+from datachecker_spark.hashes import ascon256_ctor
+
+_HASHLIB_SPECS["ascon256"] = ascon256_ctor
 
 JVM_ALGOS = tuple(_jvm_hashes())
 HASHLIB_ALGOS = tuple(_HASHLIB_SPECS)

@@ -402,8 +402,9 @@ def integrity_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
     real three-tier dispatch (JVM built-ins / truncations / hashlib Arrow
     UDF) and compares — the oracle predicts the verdict set structurally
     (digest correctness itself is covered by cross-engine KATs in
-    tests/test_integrity_algos.py). ascon256 + blake3 have no local
-    implementation and surface as unsupported_algo."""
+    tests/test_integrity_algos.py). All 26 reference algorithms are
+    supported (blake3/ascon256 via the pure-Python public-spec tier), so
+    every verdict is a planted hash_mismatch."""
     from datachecker_spark.constraints.integrity import (
         REFERENCE_ALGOS,
         _jvm_hashes,

@@ -61,13 +61,10 @@ def _py_digest(algo: str, data: bytes) -> str | None:
 
 
 def test_reference_coverage():
-    # 24 of the reference's 26 algorithms run locally; ascon256 (no public
-    # Python implementation here) and blake3 (wheel absent) degrade to the
-    # unsupported_algo CHECK verdict
+    # full parity: all 26 reference algorithms run locally (blake3/ascon256
+    # via the pure-Python public-spec tier in datachecker_spark.hashes)
     assert len(REFERENCE_ALGOS) == 26
-    missing = set(REFERENCE_ALGOS) - set(SUPPORTED_ALGOS) - {"xxhash64"}
-    assert missing <= {"ascon256", "blake3"}
-    assert len([a for a in REFERENCE_ALGOS if a in SUPPORTED_ALGOS]) >= 24
+    assert set(REFERENCE_ALGOS) <= set(SUPPORTED_ALGOS)
 
 
 def test_all_algos_verify_and_mismatch(spark):
@@ -93,8 +90,10 @@ def test_all_algos_verify_and_mismatch(spark):
 
 def test_unsupported_algo_check_verdict(spark):
     docs = make_docs(spark, [("d0", SPANS, "p0")])
+    # an algo outside the reference map (the reference has no whirlpool
+    # sidecar) degrades to a CHECK verdict instead of crashing the job
     exp = spark.createDataFrame(
-        [("d0", "ascon256", "feedface")],
+        [("d0", "whirlpool", "feedface")],
         "doc_id string, algo string, expected_hash string",
     )
     v, _ = verify_integrity(docs, exp, include_missing=False)
