@@ -131,18 +131,39 @@ def contains_any_expr(col: Column, patterns: list[str]) -> Column:
     return cond
 
 
+# Measured crossover (tools/bench_confidential.py, 2M docs x 284 patterns,
+# local[16], flattened text pre-materialized): expr 21.7s vs regex-UDF
+# 22.7s — a statistical tie, same 12,352 hits. The expr chain's cost grows
+# linearly with pattern count (one codegen indexOf per literal) while the
+# UDF's is pattern-count-flat (one compiled alternation pass + the Arrow
+# transfer of every flattened string), so the tie point IS the crossover:
+# below it the JVM path also saves Python workers entirely; above it the
+# OR-chain loses. 300 rounds the measured 284 up.
+AUTO_EXPR_MAX_PATTERNS = 300
+
+
+def resolve_engine(patterns: list[str], engine: str) -> str:
+    """engine="auto" → "expr" for pattern sets up to the measured crossover,
+    "regex" beyond it; explicit engine names pass through."""
+    if engine != "auto":
+        return engine
+    return "expr" if len(patterns) <= AUTO_EXPR_MAX_PATTERNS else "regex"
+
+
 def check_confidential(
     docs: DataFrame,
     patterns: list[str] | None = None,
-    engine: str = "expr",
+    engine: str = "auto",
 ) -> DataFrame:
     """WARNING violation per document containing any pattern (boolean — the
     reference stops at the first hit per file).
 
-    engine="expr" (default): codegen'd OR-of-contains, the scale path.
-    engine="regex"/"automaton": Arrow pandas-UDF paths (see contains_any_udf).
+    engine="auto" (default): codegen'd OR-of-contains up to the measured
+    ~300-pattern crossover, Arrow regex UDF beyond (see resolve_engine).
+    engine="expr"/"regex"/"automaton" force a path explicitly.
     """
     pats = DEFAULT_PATTERNS if patterns is None else patterns
+    engine = resolve_engine(pats, engine)
     # reuse the runner-materialized flattened text when present
     flat = (
         docs

@@ -156,6 +156,7 @@ def chi_square_drift(
     *,
     alpha: float = 0.01,
     bonferroni: bool = True,
+    materialize=None,
 ) -> DataFrame:
     """Per-partition chi-square goodness-of-fit vs the median histogram.
 
@@ -163,18 +164,21 @@ def chi_square_drift(
     partition at per-test α flags ~α·n_parts clean partitions by chance;
     the family-wise correction keeps the false-alarm rate at α overall.
     The partition count enters the plan as a broadcast scalar (no job is
-    fired building this plan). Returns (part, stat, dof, crit, drifted).
+    fired building this plan). materialize: df->df hook for the aggregate
+    checkpoint (runner.materializer — cluster deploys swap in reliable
+    checkpoint/persist); default localCheckpoint.
+    Returns (part, stat, dof, crit, drifted).
     """
     val = F.col(value) if isinstance(value, str) else value
     obs = docs.select("part", val.alias("v")).groupBy("part", "v").agg(
         F.count("*").alias("a")
     )
     # the corpus reduction happens exactly once: obs is read by parts /
-    # values / the dense join, and ReuseExchange does NOT dedupe those
-    # copies (see module docstring) — localCheckpoint (not persist) so the
-    # blocks are reclaimed by the ContextCleaner when the result goes out
-    # of scope. The runner runs this on a background thread.
-    obs = obs.localCheckpoint(eager=True)
+    # values / the dense join, and Catalyst does NOT collapse those copies
+    # (see module docstring) — localCheckpoint (not persist) so the blocks
+    # are reclaimed by the ContextCleaner when the result goes out of
+    # scope. The runner runs this on a background thread.
+    obs = (materialize or (lambda d: d.localCheckpoint(eager=True)))(obs)
     parts = obs.groupBy("part").agg(F.sum("a").alias("n_part"))
     values = obs.select("v").distinct()
     # dense part×value grid: absent cells are real zeros in the test
@@ -223,6 +227,7 @@ def ks_drift(
     alpha: float = 0.01,
     grid_size: int = 128,
     bonferroni: bool = True,
+    materialize=None,
 ) -> DataFrame:
     """Per-partition approximate KS vs the median ECDF across partitions.
     bonferroni: family-wise α correction across partitions (see chi_square_drift).
@@ -252,7 +257,7 @@ def ks_drift(
     )
     # one corpus scan total after the grid pass; all ECDF math reads the
     # tiny (n_parts × grid) aggregate (localCheckpoint: see chi_square_drift)
-    counts = counts.localCheckpoint(eager=True)
+    counts = (materialize or (lambda d: d.localCheckpoint(eager=True)))(counts)
     parts = counts.groupBy("part").agg(F.sum("c").alias("n_part"))
     buckets = counts.select("b").distinct()
     dense = (
@@ -294,8 +299,11 @@ def check_drift(
     numeric: Column | str | None = None,
     *,
     alpha: float = 0.01,
+    materialize=None,
 ) -> DataFrame:
-    """Violations (doc_id NULL, partition-scoped) for drifted partitions."""
+    """Violations (doc_id NULL, partition-scoped) for drifted partitions.
+    materialize: optional df->df hook threaded to the stat builders'
+    aggregate checkpoints (see runner.materializer)."""
     spark = docs.sparkSession
     outs = []
 
@@ -309,7 +317,9 @@ def check_drift(
         ).select(*VIOLATION_COLS)
 
     if categorical is not None:
-        chi = chi_square_drift(docs, categorical, alpha=alpha).where("drifted")
+        chi = chi_square_drift(
+            docs, categorical, alpha=alpha, materialize=materialize
+        ).where("drifted")
         outs.append(
             v(chi, CHECK_CHI2, F.format_string("chi2=%s > crit=%s (dof=%d)",
                                                F.col("stat").cast("string"),
@@ -317,7 +327,9 @@ def check_drift(
                                                F.col("dof")))
         )
     if numeric is not None:
-        ks = ks_drift(docs, numeric, alpha=alpha).where("drifted")
+        ks = ks_drift(
+            docs, numeric, alpha=alpha, materialize=materialize
+        ).where("drifted")
         outs.append(
             v(ks, CHECK_KS, F.format_string("ks=%s > crit=%s (n=%d)",
                                             F.col("ks").cast("string"),

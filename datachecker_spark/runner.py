@@ -84,6 +84,20 @@ class SuiteConfig:
     timestamps: bool = True
     timestamp_now: str | None = None
     max_age_days: int = stats.DEFAULT_MAX_AGE_DAYS
+    # how intermediate results (violations union, drift aggregates, profile,
+    # metrics, write-back) are materialized — the cluster-deploy seam:
+    #   "local"    localCheckpoint: executor-resident blocks, lineage
+    #              TRUNCATED — fastest, but blocks die with their executor
+    #              (fine for local[N] and for clusters with no
+    #              executor churn; the default).
+    #   "reliable" checkpoint() under checkpoint_dir (HDFS/S3/DBFS on a real
+    #              cluster): blocks survive any executor loss.
+    #   "persist"  persist(MEMORY_AND_DISK)+count: lineage KEPT, so a lost
+    #              block recomputes from source instead of failing the job —
+    #              no shared storage needed, at the cost of possible
+    #              branch recomputation after churn.
+    checkpoint_mode: str = "local"
+    checkpoint_dir: str | None = None
 
     # checks whose verdicts depend on the WHOLE corpus, not one partition:
     # a duplicate group or repeated doc_id can span partitions, and drift
@@ -151,6 +165,30 @@ class SuiteConfig:
         return names
 
 
+def materializer(cfg: "SuiteConfig", spark: SparkSession):
+    """df -> materialized df, per cfg.checkpoint_mode (see SuiteConfig)."""
+    if cfg.checkpoint_mode == "local":
+        return lambda df: df.localCheckpoint(eager=True)
+    if cfg.checkpoint_mode == "reliable":
+        if cfg.checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(cfg.checkpoint_dir)
+        elif spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint_mode='reliable' needs checkpoint_dir "
+                "(or a pre-set SparkContext checkpoint dir)"
+            )
+        return lambda df: df.checkpoint(eager=True)
+    if cfg.checkpoint_mode == "persist":
+
+        def _persist(df: DataFrame) -> DataFrame:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+            return df
+
+        return _persist
+    raise ValueError(f"unknown checkpoint_mode: {cfg.checkpoint_mode}")
+
+
 @dataclass
 class SuiteResult:
     violations: DataFrame
@@ -187,6 +225,7 @@ def run_suite(
     (/root/reference/src/modules/core.zig:225-241) — applied to derived
     columns, not just rows."""
     cfg = config or SuiteConfig()
+    mat = materializer(cfg, docs.sparkSession)
     t = timings if timings is not None else {}
     t0 = time.perf_counter()
     docs = annotate(docs).persist(StorageLevel.MEMORY_AND_DISK)
@@ -272,16 +311,14 @@ def run_suite(
             has_media = (F.col("n_media") > 0).cast("int")
             d = drift.check_drift(
                 docs, categorical=has_media, numeric=F.col("size"),
-                alpha=cfg.drift_alpha,
+                alpha=cfg.drift_alpha, materialize=mat,
             )
-            return d.localCheckpoint(eager=True)
+            return mat(d)
 
         drift_fut = pool.submit(_drift_job)
     # profile's per-part doc counts feed the metrics grid so the metrics
     # pass never re-scans the corpus
-    profile_fut = pool.submit(
-        lambda: stats.partition_profile(docs).localCheckpoint(eager=True)
-    )
+    profile_fut = pool.submit(lambda: mat(stats.partition_profile(docs)))
 
     t["branch_build"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
@@ -298,13 +335,14 @@ def run_suite(
     n_out = max(2 * docs.sparkSession.sparkContext.defaultParallelism, 16)
     violations = violations.coalesce(n_out)
     # violations feed both the sink and the metrics aggregation. Materialize
-    # the (small) result ONCE, eagerly: localCheckpoint truncates the
-    # 18-branch union lineage, so the sink write and the metrics aggregation
-    # both read materialized rows. (A lazy .persist() is unreliable here —
-    # when the first action is a DataFrame *write*, the cache is not
-    # populated and the metrics pass re-evaluated every branch, doubling
-    # suite wall time with high variance.)
-    violations = violations.localCheckpoint(eager=True)
+    # the (small) result ONCE, eagerly, through the configured seam
+    # (localCheckpoint by default: truncates the 18-branch union lineage so
+    # the sink write and the metrics aggregation both read materialized
+    # rows). (A lazy .persist() is unreliable here — when the first action
+    # is a DataFrame *write*, the cache is not populated and the metrics
+    # pass re-evaluated every branch, doubling suite wall time with high
+    # variance; the "persist" mode counts eagerly for the same reason.)
+    violations = mat(violations)
     if drift_fut is not None:
         # both sides are materialized blocks; the union itself is lazy and
         # cheap to re-read from the sink write AND the metrics aggregation
@@ -314,10 +352,9 @@ def run_suite(
 
     # metrics/profile are per-partition-sized; materialize them eagerly too so
     # the annotated cache can be released before returning (no cache leak
-    # across repeated run_suite calls in a long-lived session). On a cluster
-    # deploy, swap localCheckpoint for reliable checkpoint() or
-    # persist+count — localCheckpoint blocks live on executors and do not
-    # survive executor loss (see tools/submit_job.py notes).
+    # across repeated run_suite calls in a long-lived session). Cluster
+    # deploys that expect executor churn set checkpoint_mode="reliable"
+    # (+ checkpoint_dir) or "persist" — see SuiteConfig.
     checks = cfg.enabled_checks()
     if cfg.timestamps and not has_ts:
         # ts columns absent from this input — drop the never-evaluated
@@ -332,9 +369,10 @@ def run_suite(
         docs,
         checks,
         part_counts=profile.select("part", F.col("n_docs").alias("docs_scanned")),
-    ).localCheckpoint(eager=True)
+    )
+    metrics = mat(metrics)
     if write_back is not None:
-        write_back = write_back.localCheckpoint(eager=True)
+        write_back = mat(write_back)
     # blocking: a lazy unpersist leaves the old cache resident while the
     # next run_suite call populates a fresh one — at high corpus sizes the
     # overlap pushed the heap to its limit and collapsed into full-GC

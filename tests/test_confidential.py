@@ -77,3 +77,33 @@ def test_no_per_row_python_in_plan(spark):
     plan_udf = v_udf._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan_udf
     assert "ArrowEvalPython" in plan_udf
+
+
+def test_auto_engine_crossover():
+    from datachecker_spark.constraints.confidential import (
+        AUTO_EXPR_MAX_PATTERNS,
+        resolve_engine,
+    )
+
+    assert resolve_engine(DEFAULT_PATTERNS, "auto") == "expr"
+    big = [f"pattern {i}" for i in range(AUTO_EXPR_MAX_PATTERNS + 1)]
+    assert resolve_engine(big, "auto") == "regex"
+    # explicit choices pass through untouched
+    assert resolve_engine(big, "expr") == "expr"
+    assert resolve_engine(DEFAULT_PATTERNS, "automaton") == "automaton"
+
+
+def test_auto_engine_large_set_matches_expr(spark):
+    """Above the crossover the auto path switches to the regex UDF and must
+    agree with the forced expr path on the same pattern set."""
+    from datachecker_spark.constraints.confidential import AUTO_EXPR_MAX_PATTERNS
+
+    pats = [f"needle{i}" for i in range(AUTO_EXPR_MAX_PATTERNS + 1)]
+    pats[7] = "zebra"
+    docs = make_docs(spark, [("a", [("text", "a zebra crossed", None, 0)], "p0"),
+                             ("b", [("text", "nothing here", None, 0)], "p0")])
+    auto = check_confidential(docs, patterns=pats)
+    forced = check_confidential(docs, patterns=pats, engine="expr")
+    assert auto.count() == forced.count() == 1
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # really took the UDF path

@@ -127,3 +127,39 @@ def test_lineage_resume(spark, tmp_path):
     r3 = run_with_lineage(docs, out_resume, run_id="r3",
                           media_catalog=catalog, expected_fingerprints=expected, config=cfg)
     assert r3 == {"parts_processed": 0, "parts_skipped": n_parts}
+
+
+def test_checkpoint_modes_cluster_seam(spark, tmp_path):
+    """The cluster-deploy materialization seam (SuiteConfig.checkpoint_mode):
+    'reliable' (checkpoint() under a dir — blocks survive executor loss) and
+    'persist' (lineage kept — lost blocks recompute) must produce the same
+    verdict multiset as the default localCheckpoint path."""
+    import pytest
+
+    from datachecker_spark.runner import materializer
+
+    docs, catalog, expected = _corpus(spark, n=800)
+    # confidential off purely for test speed (pandas-UDF worker startup)
+    base = dict(confidential=False)
+    key = ["check", "severity", "doc_id", "part", "detail"]
+
+    def verdicts(cfg):
+        res = run_suite(docs, media_catalog=catalog,
+                        expected_fingerprints=expected, config=cfg)
+        return res.violations.groupBy(key).count()
+
+    # config errors first — the 'reliable' run below sets a context-wide
+    # checkpoint dir, after which the missing-dir error can no longer fire
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="checkpoint_dir"):
+            materializer(SuiteConfig(checkpoint_mode="reliable"), spark)
+    with pytest.raises(ValueError, match="unknown checkpoint_mode"):
+        materializer(SuiteConfig(checkpoint_mode="bogus"), spark)
+
+    ref = verdicts(SuiteConfig(**base))
+    rel = verdicts(SuiteConfig(checkpoint_mode="reliable",
+                               checkpoint_dir=str(tmp_path / "ckpt"), **base))
+    per = verdicts(SuiteConfig(checkpoint_mode="persist", **base))
+    for other in (rel, per):
+        assert ref.exceptAll(other).count() == 0
+        assert other.exceptAll(ref).count() == 0

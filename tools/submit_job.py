@@ -17,6 +17,17 @@ def main() -> None:
     ap.add_argument("--input", default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="HDFS/S3 dir for reliable intermediate checkpoints; sets "
+        "checkpoint_mode='reliable' so materialized blocks survive executor "
+        "loss (default: localCheckpoint — fastest, executor-resident)",
+    )
+    ap.add_argument(
+        "--checkpoint-mode", default=None,
+        choices=["local", "reliable", "persist"],
+        help="override the materialization seam explicitly (see SuiteConfig)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -30,6 +41,9 @@ def main() -> None:
     )
     from datachecker_spark.runner import SuiteConfig, run_suite, run_with_lineage
 
+    mode = args.checkpoint_mode or ("reliable" if args.checkpoint_dir else "local")
+    cfg = SuiteConfig(checkpoint_mode=mode, checkpoint_dir=args.checkpoint_dir)
+
     if args.input:
         docs = spark.read.parquet(args.input)
     else:
@@ -41,13 +55,13 @@ def main() -> None:
         stats = run_with_lineage(
             docs, args.output, run_id="submit",
             media_catalog=catalog, expected_fingerprints=expected,
-            config=SuiteConfig(),
+            config=cfg,
         )
         print(json.dumps(stats))
     else:
         res = run_suite(
             docs, media_catalog=catalog, expected_fingerprints=expected,
-            config=SuiteConfig(),
+            config=cfg,
         )
         n = res.violations.count()
         checks = res.metrics.select("check").distinct().count()
