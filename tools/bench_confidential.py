@@ -1,9 +1,12 @@
-"""Decide run_suite's default confidential-scan engine with data
-(VERDICT r2 "What's wrong" #3): the codegen OR-of-contains chain is
-O(patterns x text) separate indexOf passes, the Arrow-UDF alternation regex
-is one pass at C speed but pays the Python transfer of every flattened
-string. Which wins depends on pattern count and text length — measure both
-on the scaling corpus and record the numbers in BASELINE.md.
+"""Measure the confidential-scan engines head-to-head (the data behind
+AUTO_EXPR_MAX_PATTERNS in constraints/confidential.py): the codegen
+OR-of-contains chain is O(patterns x text) separate indexOf passes; the
+Arrow-UDF path is ONE RE2 DFA pass per string (pattern-count-flat) plus the
+Arrow transfer of every flattened string. History: against Python re's
+backtracking alternation the two tied at ~284 patterns (2M docs, 21.7s vs
+22.7s); with the RE2 kernel the UDF side costs the same as not scanning at
+all inside the suite, so expr only wins for trivial pattern sets that avoid
+Python workers entirely.
 
 Usage: python tools/bench_confidential.py [--docs 2000000] [--cores 16]
 Prints one JSON line per engine (median of 3 timed counts after 1 warm).
