@@ -34,6 +34,7 @@ from datachecker_spark.constraints import (
     diraggs,
     drift,
     duplicates,
+    fused,
     integrity,
     predicates,
     referential,
@@ -98,6 +99,14 @@ class SuiteConfig:
     #              branch recomputation after churn.
     checkpoint_mode: str = "local"
     checkpoint_dir: str | None = None
+    # walk once, apply every row-level check (reference stat-cache design,
+    # core.zig:225-241, applied to the checks themselves): the eleven pure
+    # row-predicate checks run as THREE fused scans (doc/ref/span
+    # granularity, constraints/fused.py) instead of eleven union branches
+    # that each re-decompress the cached corpus. False = one branch per
+    # check (the standalone functions; same rows either way — asserted by
+    # tests/test_fused.py).
+    fused_rows: bool = True
 
     # checks whose verdicts depend on the WHOLE corpus, not one partition:
     # a duplicate group or repeated doc_id can span partitions, and drift
@@ -238,28 +247,80 @@ def run_suite(
         parts.append(duplicates.check_duplicates(docs, n_salts=cfg.n_salts))
     if cfg.unique_ids:
         parts.append(uniqueness.check_unique_ids(docs, n_salts=cfg.n_salts))
-    if cfg.empty_docs:
-        parts.append(stats.check_empty_docs(docs))
-    if cfg.large_docs:
-        parts.append(stats.check_large_docs(docs, threshold=cfg.large_doc_size))
-    if cfg.name_rules:
-        parts.append(predicates.check_doc_names(docs))
-    if cfg.name_length:
-        parts.append(predicates.check_name_length(docs, max_len=cfg.max_name_len))
-    if cfg.ref_path_length:
-        parts.append(predicates.check_ref_path_length(docs, max_len=cfg.max_path_len))
-    if cfg.temp_refs:
-        parts.append(predicates.check_temp_refs(docs))
-    if cfg.legacy_refs:
-        parts.append(predicates.check_legacy_refs(docs))
-    if cfg.kind_consistency:
-        parts.append(predicates.check_kind_consistency(docs))
-    if cfg.json_spans:
-        parts.append(predicates.check_json_spans(docs))
-    if cfg.confidential:
-        parts.append(
-            confidential.check_confidential(docs, patterns=cfg.confidential_patterns)
+    has_ts = any(c in docs.columns for c in ("ingest_ts", "modified_ts"))
+    # sample 'now' once per run (reference: once at process startup,
+    # src/main.zig:399-403) unless the config pins a literal — a
+    # current_timestamp() column would re-evaluate per task/batch
+    now = cfg.timestamp_now
+    if cfg.timestamps and has_ts and now is None:
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    if cfg.fused_rows:
+        # eleven row-level checks as THREE scans (constraints/fused.py)
+        parts.extend(
+            df
+            for df in (
+                fused.fused_doc_checks(
+                    docs,
+                    empty_docs=cfg.empty_docs,
+                    large_docs=cfg.large_docs,
+                    large_doc_size=cfg.large_doc_size,
+                    name_rules=cfg.name_rules,
+                    name_length=cfg.name_length,
+                    max_name_len=cfg.max_name_len,
+                    timestamps=cfg.timestamps and has_ts,
+                    now=now,
+                    max_age_days=cfg.max_age_days,
+                    confidential=cfg.confidential,
+                    patterns=cfg.confidential_patterns,
+                ),
+                fused.fused_ref_checks(
+                    docs,
+                    ref_path_length=cfg.ref_path_length,
+                    max_path_len=cfg.max_path_len,
+                    temp_refs=cfg.temp_refs,
+                    legacy_refs=cfg.legacy_refs,
+                ),
+                fused.fused_span_checks(
+                    docs,
+                    kind_consistency=cfg.kind_consistency,
+                    json_spans=cfg.json_spans,
+                ),
+            )
+            if df is not None
         )
+    else:
+        if cfg.empty_docs:
+            parts.append(stats.check_empty_docs(docs))
+        if cfg.large_docs:
+            parts.append(stats.check_large_docs(docs, threshold=cfg.large_doc_size))
+        if cfg.name_rules:
+            parts.append(predicates.check_doc_names(docs))
+        if cfg.name_length:
+            parts.append(predicates.check_name_length(docs, max_len=cfg.max_name_len))
+        if cfg.ref_path_length:
+            parts.append(
+                predicates.check_ref_path_length(docs, max_len=cfg.max_path_len)
+            )
+        if cfg.temp_refs:
+            parts.append(predicates.check_temp_refs(docs))
+        if cfg.legacy_refs:
+            parts.append(predicates.check_legacy_refs(docs))
+        if cfg.kind_consistency:
+            parts.append(predicates.check_kind_consistency(docs))
+        if cfg.json_spans:
+            parts.append(predicates.check_json_spans(docs))
+        if cfg.confidential:
+            parts.append(
+                confidential.check_confidential(
+                    docs, patterns=cfg.confidential_patterns
+                )
+            )
+        if cfg.timestamps and has_ts:
+            parts.append(
+                stats.check_timestamps(docs, now=now, max_age_days=cfg.max_age_days)
+            )
     if cfg.referential and media_catalog is not None:
         parts.append(referential.check_media_refs(docs, media_catalog))
     write_back = None
@@ -270,19 +331,6 @@ def run_suite(
         parts.append(v)
     if cfg.integrity_missing and expected_fingerprints is not None:
         parts.append(integrity.check_missing_expectations(docs, expected_fingerprints))
-    has_ts = any(c in docs.columns for c in ("ingest_ts", "modified_ts"))
-    if cfg.timestamps and has_ts:
-        # sample 'now' once per run (reference: once at process startup,
-        # src/main.zig:399-403) unless the config pins a literal — a
-        # current_timestamp() column would re-evaluate per task/batch
-        now = cfg.timestamp_now
-        if now is None:
-            import datetime as _dt
-
-            now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
-        parts.append(
-            stats.check_timestamps(docs, now=now, max_age_days=cfg.max_age_days)
-        )
     if cfg.partition_sizes:
         parts.append(
             diraggs.check_partition_sizes(

@@ -176,21 +176,30 @@ def main() -> None:
 
     import statistics
 
-    best = {
+    med = {
         c: statistics.median(s["docs_per_sec"] for s in samples[c]) for c in levels
     }
+    # co-tenant interference on this host is ONE-SIDED (it can only slow a
+    # pass down, never speed it up), so max-of-k is the consistent estimator
+    # of the uncontended throughput at each level; the median is reported as
+    # the conservative headline alongside it
+    best = {c: max(s["docs_per_sec"] for s in samples[c]) for c in levels}
     results["samples"] = {
         str(c): [s["docs_per_sec"] for s in samples[c]] for c in levels
     }
     for pair in args.pairs.split(";"):
         lo, hi = (int(x) for x in pair.split(","))
-        eff = (best[hi] / best[lo]) / (hi / lo)
+        eff = (med[hi] / med[lo]) / (hi / lo)
+        eff_best = (best[hi] / best[lo]) / (hi / lo)
         rec = {
             "N": lo,
             "4N": hi,
-            "docs_per_sec_N": best[lo],
-            "docs_per_sec_4N": best[hi],
+            "docs_per_sec_N": med[lo],
+            "docs_per_sec_4N": med[hi],
             "scaling_efficiency": round(eff, 3),
+            "docs_per_sec_N_best": best[lo],
+            "docs_per_sec_4N_best": best[hi],
+            "scaling_efficiency_best": round(eff_best, 3),
             "pass_ge_0.8": eff >= 0.8,
         }
         results["pairs"].append(rec)
