@@ -33,18 +33,29 @@ def _annotated(docs: DataFrame) -> DataFrame:
     n_spans = F.col("n_spans") if "n_spans" in have else span_count("spans")
     fp = F.col("fp") if "fp" in have else fingerprint("spans")
     n_media = F.col("n_media") if "n_media" in have else F.size(media_spans)
+    n_text = (
+        F.col("n_text_spans") if "n_text_spans" in have else F.size(text_spans)
+    )
+    n_null_text = (
+        F.col("n_null_text")
+        if "n_null_text" in have
+        else F.size(F.filter(text_spans, lambda s: s["text"].isNull()))
+    )
+    n_null_ref = (
+        F.col("n_null_ref")
+        if "n_null_ref" in have
+        else F.size(F.filter(media_spans, lambda s: s["media_ref"].isNull()))
+    )
     return docs.select(
         "doc_id",
         "part",
         size.alias("size"),
         n_spans.alias("n_spans"),
         fp.alias("fp"),
-        F.size(text_spans).alias("n_text_spans"),
+        n_text.alias("n_text_spans"),
         n_media.alias("n_media_spans"),
-        F.size(F.filter(text_spans, lambda s: s["text"].isNull())).alias("n_null_text"),
-        F.size(F.filter(media_spans, lambda s: s["media_ref"].isNull())).alias(
-            "n_null_ref"
-        ),
+        n_null_text.alias("n_null_text"),
+        n_null_ref.alias("n_null_ref"),
     )
 
 

@@ -112,7 +112,22 @@ def flattened_text(spans: Column | str = "spans") -> Column:
 # cache — walk once, reuse derived values
 # (/root/reference/src/modules/core.zig:225-241) — applied to derived
 # columns, not just rows.
-DERIVED_COLUMNS = ("fp", "content_key", "size", "n_spans", "n_media", "_flat")
+DERIVED_COLUMNS = (
+    "fp",
+    "content_key",
+    "size",
+    "n_spans",
+    "n_media",
+    "_flat",
+    # profile inputs: with these materialized, the per-partition profile
+    # aggregation prunes to cached fixed-width columns and never touches the
+    # spans payload (measured at 1M docs/8 cores: the profile scan was the
+    # single biggest side-job, ~25 CPU-s/pass of repeated interpreted-HOF
+    # span walks)
+    "n_text_spans",
+    "n_null_text",
+    "n_null_ref",
+)
 
 
 def _canonical_from_ordered(ordered: Column) -> Column:
@@ -153,15 +168,22 @@ def annotate(docs):
     staged = docs.withColumn("_ord", ordered_spans("spans")).withColumn(
         "_canon", _canonical_from_ordered(F.col("_ord"))
     )
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+    media_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "media")
     derived = {
         "fp": F.xxhash64(F.col("_canon")),
         "content_key": F.sha2(F.col("_canon"), 256),
         "size": doc_size("spans"),
         "n_spans": span_count("spans"),
-        "n_media": F.size(
-            F.filter(F.col("spans"), lambda s: s["kind"] == "media")
-        ),
+        "n_media": F.size(media_spans),
         "_flat": _flat_from_ordered(F.col("_ord")),
+        "n_text_spans": F.size(text_spans),
+        "n_null_text": F.size(
+            F.filter(text_spans, lambda s: s["text"].isNull())
+        ),
+        "n_null_ref": F.size(
+            F.filter(media_spans, lambda s: s["media_ref"].isNull())
+        ),
     }
     return staged.select(
         *docs.columns, *[derived[c].alias(c) for c in missing]

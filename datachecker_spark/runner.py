@@ -380,7 +380,12 @@ def run_suite(
     # ~20s from 8→32 cores while the content pass scaled 2.3×). Coalesce to
     # a small multiple of the executor count: still ≥2 waves of parallelism,
     # 64× fewer task launches. (narrow — no extra shuffle)
-    n_out = max(2 * docs.sparkSession.sparkContext.defaultParallelism, 16)
+    # 4× (not 2×): the coalesced tasks are UNEVEN — each fuses different
+    # branch mixes — and stage-level instrumentation at 8 cores showed the
+    # checkpoint stage's 16-task/2-wave shape leaving a straggler tail
+    # (utilization 0.79); 4 waves of half-size tasks smooth it while task
+    # launches stay ~100× below the un-coalesced flood
+    n_out = max(4 * docs.sparkSession.sparkContext.defaultParallelism, 16)
     violations = violations.coalesce(n_out)
     # violations feed both the sink and the metrics aggregation. Materialize
     # the (small) result ONCE, eagerly, through the configured seam
