@@ -37,11 +37,17 @@ def main() -> None:
         # best-of-2: one sample can inherit a GC pause or co-tenant stall
         # (round-1 bench showed a trivially-cheap query at 22.6s once);
         # queries whose samples differ >3x are flagged in the output
+        from datachecker_spark.cache import release_all
+
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
+            # checkpoint blocks are never GC-reclaimed from Python
+            # (cache.py) — drop whatever this query materialized so later
+            # queries aren't squeezed by dead generations of blocks
+            release_all(spark)
         timings[name] = round(min(samples), 3)
         if max(samples) > 3 * min(samples) and max(samples) > 1.0:
             variance[name] = [round(s, 3) for s in samples]

@@ -512,17 +512,32 @@ def magic_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         off = {"tar": 257, "iso": 32769}.get(fmt_name.lstrip("."), 0)
         return hexstr[: off * 2] + "ee" + hexstr[off * 2 + 2 :]
 
-    # specimens as BINARY PLAN CONSTANTS (bytes.fromhex on the driver): the
-    # earlier form unhex'd a 65 KB hex-string literal per ROW for the
-    # deep-offset formats (iso pads to +32769), which alone made this query
-    # the bench's second-slowest — a constant binary select costs only the
-    # output-row copy
-    content = F.lit(None).cast("binary")
-    for x in _MAGIC_FMTS:
-        good = F.lit(bytearray(bytes.fromhex(_MAGIC_HEADERS_HEX[x])))
-        bad = F.lit(bytearray(bytes.fromhex(_flip(_MAGIC_HEADERS_HEX[x], x))))
-        content = F.when(fmt == x, F.when(corrupted, bad).otherwise(good)).otherwise(content)
-    typed = docs.select("doc_id", fmt.alias("fmt"), content.alias("content"))
+    # specimens as a 16-row BROADCAST DIMENSION joined on fmt, not plan
+    # literals: embedding the 32 KB iso/tar byte strings as F.lit constants
+    # in a 16-branch when-chain cost ~2 s of driver plan construction plus
+    # a multi-second codegen compile per run (measured at sf0.001: 2.2 s
+    # build + 4-9 s exec for 600 rows). As a dimension the payload bytes
+    # cross py4j/the plan exactly once per fmt and the row expression is a
+    # 3-column select — the same shape a real corpus join would have.
+    spec_rows = [
+        (x, bytearray(bytes.fromhex(_MAGIC_HEADERS_HEX[x])),
+         bytearray(bytes.fromhex(_flip(_MAGIC_HEADERS_HEX[x], x))))
+        for x in _MAGIC_FMTS
+    ]
+    specimens = spark.createDataFrame(
+        spec_rows, "fmt string, good binary, bad binary"
+    )
+    typed = (
+        docs.select("doc_id", fmt.alias("fmt"), corrupted.alias("corrupted"))
+        .join(F.broadcast(specimens), "fmt")
+        .select(
+            "doc_id",
+            "fmt",
+            F.when(F.col("corrupted"), F.col("bad"))
+            .otherwise(F.col("good"))
+            .alias("content"),
+        )
+    )
     valid = format_valid_expr(F.col("fmt"), F.col("content"))
     return typed.where(valid == False).select("doc_id", "fmt")  # noqa: E712
 

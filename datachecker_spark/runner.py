@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from datachecker_spark import cache
 from datachecker_spark import io as tio
 from datachecker_spark.fingerprint import annotate
 from datachecker_spark.constraints import (
@@ -205,6 +206,19 @@ class SuiteResult:
     profile: DataFrame
     write_back: DataFrame | None  # integrity create-semantics rows
 
+    def release(self, blocking: bool = False) -> int:
+        """Unpersist the result checkpoint blocks (call when done reading).
+
+        Required, not optional, in long-lived sessions: checkpoint blocks
+        are never reclaimed by GC from Python (see cache.py), so a resume
+        loop that drops SuiteResults without releasing pins one generation
+        of blocks per pass. Returns the number of RDDs released.
+        """
+        return cache.release(
+            self.violations, self.metrics, self.profile, self.write_back,
+            blocking=blocking,
+        )
+
 
 def run_suite(
     docs: DataFrame,
@@ -352,14 +366,24 @@ def run_suite(
 
     pool = ThreadPoolExecutor(max_workers=2)
     drift_fut = None
+    # drift's internal obs/counts checkpoints are consumed entirely within
+    # this call — track them so they're released (cache.py: GC never
+    # reclaims checkpoint blocks from Python) as soon as the final drift
+    # block exists. Only the drift future's thread appends; no lock needed.
+    drift_intermediates: list[DataFrame] = []
     if cfg.drift:
         # both drift inputs are materialized derived columns — the drift
         # aggregations read two cached int columns, never the span payloads
+        def _mat_track(d: DataFrame) -> DataFrame:
+            d = mat(d)
+            drift_intermediates.append(d)
+            return d
+
         def _drift_job():
             has_media = (F.col("n_media") > 0).cast("int")
             d = drift.check_drift(
                 docs, categorical=has_media, numeric=F.col("size"),
-                alpha=cfg.drift_alpha, materialize=mat,
+                alpha=cfg.drift_alpha, materialize=_mat_track,
             )
             return mat(d)
 
@@ -400,6 +424,9 @@ def run_suite(
         # both sides are materialized blocks; the union itself is lazy and
         # cheap to re-read from the sink write AND the metrics aggregation
         violations = violations.unionByName(drift_fut.result())
+        # the final drift block is materialized — its obs/counts inputs
+        # are now pure insurance against a recomputation that can't happen
+        cache.release(*drift_intermediates)
     t["violations_job"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
 
@@ -516,6 +543,7 @@ def run_with_lineage(
         )
         tio.write_table(gres.violations, f"{output_dir}/violations_global", mode="overwrite")
         tio.write_table(gres.metrics, f"{output_dir}/metrics_global", mode="overwrite")
+        gres.release()
 
     # 3. commit point: lineage written last
     lineage_rows = res.metrics.groupBy("part").agg(
@@ -531,5 +559,9 @@ def run_with_lineage(
         F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())).alias("completed_at"),
     )
     tio.write_table(lineage_rows, lineage_path, mode="append")
+    # lineage derives from res.metrics (a materialized block) — release
+    # only after the commit write; this is the resume loop where unreleased
+    # blocks would otherwise accumulate one generation per batch
+    res.release()
     todo.unpersist()
     return {"parts_processed": len(todo_parts), "parts_skipped": n_skipped}

@@ -122,10 +122,12 @@ def minhash_near_dup_pairs(
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
     ).where(F.size("sh") > 0)
     # materialize the shingle sets once (read 3x below: signatures + both
-    # verify sides). Lazy localCheckpoint, NOT persist: a bare persist() has
-    # no unpersist point in a lazy API and leaked cached partitions across
-    # calls in long-lived sessions — checkpoint blocks are reclaimed by the
-    # ContextCleaner as soon as the result DataFrame is dropped
+    # verify sides). Lazy localCheckpoint, NOT persist: persist() would
+    # double-cache (the block manager AND the checkpoint store) with no
+    # unpersist point inside a lazy API. The block is NOT GC-reclaimed
+    # (cache.py: the ContextCleaner path is dead from Python) — callers
+    # done with the result dispose of it with cache.release(result_df),
+    # which reaches this block as a LogicalRDD leaf of the returned plan.
     base = base.localCheckpoint(eager=False)
     # signatures via the relational (codegen'd) path; candidates carry ONLY
     # ids through the band explode / self-join / dedup — shuffling the

@@ -84,14 +84,13 @@ def worker(cores: int, n_docs: int) -> None:
     catalog = generate_media_catalog(spark)
 
     def one_pass(d, e, timings: dict | None = None) -> float:
-        # run_suite unpersists its own cache and returns materialized
-        # (checkpointed) violations/metrics; clearCache guards against any
-        # stray cached plans carrying over between passes, and the explicit
-        # JVM GC forces the ContextCleaner's weak references to drain so the
-        # previous pass's checkpoint/shuffle blocks are actually freed
-        # before the next pass allocates (without it, back-to-back full
-        # passes accumulated stale blocks until the heap pinned)
-        spark.catalog.clearCache()
+        # run_suite unpersists its own cache and frees its drift
+        # intermediates; the result blocks are released explicitly below
+        # (checkpoint blocks are never GC-reclaimed from Python —
+        # cache.py; relying on System.gc() here let dead generations of
+        # blocks accumulate across passes until the heap pinned). The GC
+        # call still helps between passes: it compacts the old gen before
+        # the next pass's allocation burst.
         spark._jvm.System.gc()
         t0 = time.perf_counter()
         res = run_suite(
@@ -103,7 +102,9 @@ def worker(cores: int, n_docs: int) -> None:
         )
         res.violations.write.format("noop").mode("overwrite").save()
         res.metrics.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        res.release(blocking=True)
+        return elapsed
 
     # warm-up = ONE FULL pass over the measured corpus (C2 JIT of the ~50
     # generated codegen classes only finishes under real row volume — a
