@@ -380,17 +380,27 @@ def run_suite(
             return d
 
         def _drift_job():
+            s0 = time.perf_counter()
             has_media = (F.col("n_media") > 0).cast("int")
             d = drift.check_drift(
                 docs, categorical=has_media, numeric=F.col("size"),
                 alpha=cfg.drift_alpha, materialize=_mat_track,
             )
-            return mat(d)
+            d = mat(d)
+            t["drift_total"] = round(time.perf_counter() - s0, 2)
+            return d
 
         drift_fut = pool.submit(_drift_job)
+
     # profile's per-part doc counts feed the metrics grid so the metrics
     # pass never re-scans the corpus
-    profile_fut = pool.submit(lambda: mat(stats.partition_profile(docs)))
+    def _profile_job():
+        s0 = time.perf_counter()
+        p = mat(stats.partition_profile(docs))
+        t["profile_total"] = round(time.perf_counter() - s0, 2)
+        return p
+
+    profile_fut = pool.submit(_profile_job)
 
     t["branch_build"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
@@ -420,6 +430,7 @@ def run_suite(
     # pass re-evaluated every branch, doubling suite wall time with high
     # variance; the "persist" mode counts eagerly for the same reason.)
     violations = mat(violations)
+    t["union_mat"] = round(time.perf_counter() - t0, 2)
     if drift_fut is not None:
         # both sides are materialized blocks; the union itself is lazy and
         # cheap to re-read from the sink write AND the metrics aggregation
