@@ -201,14 +201,20 @@ def ngram_jaccard_pairs(
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
     ).where(F.size("sh") > 0)
     ex = sets.select("id", F.explode("sh").alias("s"))
+    # tokenize ONCE: every consumer below (hot-shingle count, both self-join
+    # sides, set sizes) otherwise re-runs the interpreted HOF shingling over
+    # the corpus — measured 4 full tokenization passes per query (the same
+    # re-derivation class VERDICT r2 flagged on minhash). Lazy localCheckpoint,
+    # caller disposes via cache.release(result) — see minhash_near_dup_pairs.
+    ex = ex.localCheckpoint(eager=False)
     if max_df is not None:
         hot = (
             ex.groupBy("s").agg(F.count("*").alias("_df")).where(F.col("_df") > max_df)
         )
         ex = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
-        sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
-    else:
-        sizes = sets.select("id", F.size("sh").alias("n"))
+    # |capped shingle set| per doc == row count in ex (shingles are distinct
+    # per doc); identical to size(sh) when max_df is None
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
     pairs = (
         ex.alias("x")
         .join(ex.alias("y"), "s")
