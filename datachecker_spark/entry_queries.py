@@ -499,6 +499,19 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=10)
 
 
+@query("ann_ivf_topk")  # rows-only: the k-means quantizer has no SQL analog
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-partitioned approximate top-k (similarity.ivf_cosine_topk).
+    Recall vs exact AND exhaustive-probe equality (n_probe=n_cells ==
+    brute force) asserted in tests/test_similarity.py; the cell column is
+    the Iceberg-partition seam at warehouse scale."""
+    from datachecker_spark.similarity import ivf_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_cosine_topk(emb, queries, k=10, n_cells=32, n_probe=8)
+
+
 @query(
     "embedding_near_dups",
     oracle="""

@@ -223,6 +223,128 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _spherical_kmeans(
+    m: np.ndarray, n_cells: int, iters: int, seed: int
+) -> np.ndarray:
+    """Spherical k-means (unit vectors, cosine objective) with k-means++
+    seeding — both public algorithms (Lloyd 1982; Arthur & Vassilvitskii
+    2007). Runs driver-side on the (small) training sample; returns a
+    (n_cells, d) unit-row centroid matrix."""
+    rng = np.random.default_rng(seed)
+    m = _unit(m)
+    n = len(m)
+    cents = np.empty((min(n_cells, n), m.shape[1]))
+    cents[0] = m[rng.integers(n)]
+    d2 = 1.0 - m @ cents[0]
+    for c in range(1, len(cents)):
+        probs = np.maximum(d2, 0.0)
+        s = probs.sum()
+        idx = rng.choice(n, p=probs / s) if s > 0 else rng.integers(n)
+        cents[c] = m[idx]
+        d2 = np.minimum(d2, 1.0 - m @ cents[c])
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0.0:
+                    cents[c] = v / nv
+    return cents
+
+
+def cell_assign_udf(centroids: np.ndarray):
+    """Arrow pandas UDF: nearest-centroid cell id for each vector — one
+    GEMM + argmax per batch (centroid matrix rides the UDF closure, the
+    broadcast-variable analog)."""
+    cm = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(
+            np.argmax(_unit(_stack(vecs)) @ cm.T, axis=1).astype(np.int32)
+        )
+
+    return _cell
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    train_sample: int = 4096,
+    iters: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cell-partitioned scale
+    path next to `lsh_cosine_topk` (SURVEY §LLM-ops: "IVF or LSH-bucketed
+    variant"). Returns (query_id, neighbor_id, cos, rank ≤ k).
+
+    Train: spherical k-means on a DETERMINISTIC corpus sample (hash-stride
+    filter + ordered cap → driver; sample is small by contract, the train
+    step is O(sample × cells) numpy). Assign: one GEMM+argmax per Arrow
+    batch tags each corpus vector with its cell — at warehouse scale this
+    cell is the natural Iceberg partition column, making probes partition
+    pruning instead of a scan. Probe: each query searches only its n_probe
+    nearest cells; candidates come from a BROADCAST join of the (|Q| ×
+    n_probe)-row probe table against the cell-tagged corpus — the corpus
+    never shuffles — and exact cosine re-ranks. Recall/cost knob:
+    n_probe/n_cells (n_probe=n_cells degenerates to exact brute force)."""
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    spark = corpus.sparkSession
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    # deterministic training sample: hash-stride thin-out, ordered cap
+    # (takeOrdered pushes the limit into each partition — no global sort)
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .where(F.pmod(F.xxhash64(F.col("_i")), F.lit(7)) == 0)
+        .orderBy("_i")
+        .limit(train_sample)
+        .collect()
+    )
+    tm = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+    cents = _spherical_kmeans(tm, n_cells, iters, seed)
+
+    cell = cell_assign_udf(cents)
+    tagged = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        cell(F.col(vec_col)).alias("cell"),
+    )
+    # probe table: n_probe nearest cells per query, built driver-side from
+    # the same centroids (|Q| × n_probe rows — broadcast side)
+    probe_order = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qids[i]), [float(x) for x in qm[i]], int(c))
+        for i in range(len(qids))
+        for c in probe_order[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, cell int"
+    )
+    cand = tagged.join(F.broadcast(probes), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        pair_cosine_udf()(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     *,

@@ -129,6 +129,39 @@ def windowed_verdicts(
     )
 
 
+def stream_dedup(
+    docs: DataFrame, *, ts_col: str = "ts", horizon: str = "10 minutes"
+) -> DataFrame:
+    """Streaming duplicate suppression on the canonical content fingerprint —
+    the flagship batch dedup (§2.2, constraints/duplicates.py) re-expressed
+    with BOUNDED state for ingestion pipelines.
+
+    Keeps the first arrival of each fingerprint and drops re-arrivals whose
+    event time lands within the watermark horizon
+    (`dropDuplicatesWithinWatermark`: a key's state is reclaimed once the
+    watermark passes its event time, so state is O(unique fingerprints per
+    horizon), not O(corpus) — the property that makes dedup streamable at
+    all; exact all-history dedup stays on the batch/lineage path, see module
+    docstring). This is the ingestion-time guard against duplicate storms
+    (replayed feeds, double-submitted batches): duplicates are stopped at
+    the door instead of being found by the next batch pass.
+
+    The fingerprint is the same canonical offset-ordered xxhash64 the batch
+    path groups on (fingerprint.py), so a doc admitted here and scanned
+    later joins the same duplicate groups. Reference analog: the duplicate
+    pipeline's hash stage (/root/reference/src/modules/duplicate_files/
+    parallel.zig:83-138), minus its byte-exact confirm — within-horizon
+    streaming dedup accepts the 64-bit-collision false-drop odds
+    (~n²/2⁶⁵ per horizon) that the batch path removes via exact
+    span-sequence confirmation."""
+    from datachecker_spark.fingerprint import fingerprint
+
+    d = docs.withColumn("fp", fingerprint("spans")).withWatermark(
+        ts_col, horizon
+    )
+    return d.dropDuplicatesWithinWatermark(["fp"])
+
+
 def stats_doc_size_indicator(large_doc_size: int):
     """Stateless violation indicator usable inside streaming aggregations
     (empty-or-oversized documents)."""

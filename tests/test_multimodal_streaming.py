@@ -218,3 +218,52 @@ def test_windowed_verdicts_streaming(spark, tmp_path):
     p0 = rows[("p0", "2024-01-01 00:00:00")]
     assert p0["docs_seen"] == 2 and p0["violations"] == expected.get("p0", 0)
     assert expected.get("p0", 0) >= 1  # name_rules (bad..name)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state streaming dedup on the canonical fingerprint: a
+    re-arrival of identical span content within the watermark horizon is
+    dropped — INCLUDING across micro-batches (the state survives the batch
+    boundary) — while distinct content passes."""
+    from datachecker_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dedup_src")
+    dup_spans = [("text", "same payload", None, 0)]
+    batch1 = make_docs(
+        spark,
+        [
+            ("d1", dup_spans, "p0"),
+            ("d2", dup_spans, "p0"),          # same fp as d1 → dropped
+            ("d3", [("text", "other", None, 0)], "p0"),
+        ],
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:01:00")))
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    q = (
+        stream_dedup(stream, horizon="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_dedup_sink")
+        .trigger(availableNow=False, processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2 = make_docs(
+            spark,
+            [
+                ("d4", dup_spans, "p0"),      # fp seen in batch1, within horizon
+                ("d5", [("text", "fresh", None, 0)], "p0"),
+            ],
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:02:00")))
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from stream_dedup_sink").collect()
+    fps = [r["fp"] for r in rows]
+    assert len(fps) == len(set(fps)) == 3  # one per distinct content
+    ids = {r["doc_id"] for r in rows}
+    assert "d3" in ids and "d5" in ids
+    assert ("d1" in ids) ^ ("d2" in ids)    # exactly one of the twins
+    assert "d4" not in ids                  # cross-batch re-arrival dropped

@@ -76,3 +76,28 @@ def test_cosine_near_dup_pairs(emb):
     assert (0, 999) in got  # the planted exact duplicate
     # no cross-cluster pair can be near-identical
     assert all(a // 100 == b // 100 or b == 999 for a, b in got)
+
+
+def test_ivf_recall_vs_exact(emb):
+    from datachecker_spark.similarity import ivf_cosine_topk
+
+    queries = emb.where("vec_id in (0, 100, 200)")
+    exact = cosine_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx = ivf_cosine_topk(
+        emb, queries, k=5, n_cells=6, n_probe=3, seed=7,
+        train_sample=64, iters=8,
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # co-location argument: assignment and probing share one quantizer, so a
+    # query's cluster lands in the cells the query probes first
+    assert recall >= 0.8, f"recall {recall}: {sorted(e - a)} missed"
+    # n_probe == n_cells degenerates to exhaustive search → exact equality
+    # (same rounding, same (cos desc, id asc) tie order as cosine_topk)
+    full = ivf_cosine_topk(
+        emb, queries, k=5, n_cells=6, n_probe=6, seed=7,
+        train_sample=64, iters=8,
+    )
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e

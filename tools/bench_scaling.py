@@ -132,10 +132,22 @@ def worker(cores: int, n_docs: int) -> None:
     )
 
 
-def run_one(cores: int, n_docs: int) -> dict:
+def run_one(cores: int, n_docs: int, pin: bool = False) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cores),
+           "--docs", str(n_docs)]
+    if pin:
+        # Pin the whole worker (JVM + python UDF children) to exactly
+        # `cores` hardware threads. Without this, local[N] is NOT an N-core
+        # machine: GC, JIT, Netty IO, shuffle and Python workers run free on
+        # the other idle cores — a one-sided subsidy that inflates the
+        # low-N baseline and biases measured N→4N efficiency DOWN (a real
+        # cluster executor gets a pinned cgroup CPU allocation, it does not
+        # borrow 30 idle cores for its GC). The JVM sizes its GC/compiler
+        # pools from sched_getaffinity, so the pinned worker self-tunes to
+        # the allocation.
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cores),
-         "--docs", str(n_docs)],
+        cmd,
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -157,13 +169,21 @@ def main() -> None:
                          "reported (the sandbox host has uncontrolled "
                          "co-tenant load; median of interleaved repeats is "
                          "robust to one contended sample in either direction)")
+    ap.add_argument("--taskset", action="store_true",
+                    help="pin each worker to exactly N hardware threads "
+                         "(taskset -c 0-(N-1)) — the faithful N-core-"
+                         "executor model; see run_one")
+    ap.add_argument("--out", type=str, default="BENCH_SCALING.json")
     args = ap.parse_args()
 
     if args.worker is not None:
         worker(args.worker, args.docs)
         return
 
-    results: dict = {"n_docs": args.docs, "repeat": args.repeat, "pairs": []}
+    results: dict = {
+        "n_docs": args.docs, "repeat": args.repeat,
+        "cpu_pinned": bool(args.taskset), "pairs": [],
+    }
     samples: dict[int, list[dict]] = {}
     levels: list[int] = []
     for pair in args.pairs.split(";"):
@@ -173,7 +193,9 @@ def main() -> None:
     # interleave: A B A B ... so slow drift in host load hits both levels
     for _ in range(args.repeat):
         for c in levels:
-            samples.setdefault(c, []).append(run_one(c, args.docs))
+            samples.setdefault(c, []).append(
+                run_one(c, args.docs, pin=args.taskset)
+            )
 
     import statistics
 
@@ -206,9 +228,9 @@ def main() -> None:
         results["pairs"].append(rec)
         print(json.dumps(rec))
 
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(results, f, indent=2)
-    print(json.dumps({"written": "BENCH_SCALING.json", **results}))
+    print(json.dumps({"written": args.out, **results}))
 
 
 if __name__ == "__main__":
