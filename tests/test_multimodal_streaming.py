@@ -244,7 +244,6 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("stream_dedup_sink")
-        .trigger(availableNow=False, processingTime="0 seconds")
         .start()
     )
     try:
