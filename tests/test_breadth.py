@@ -80,3 +80,8 @@ def test_ngram_max_df_cap_identity_and_guard(spark):
     assert pairs == []  # only evidence was the capped stop shingle
     pairs_uncapped = ngram_jaccard_pairs(sdf, threshold=0.01).count()
     assert pairs_uncapped == 190  # quadratic blowup the guard prevents
+    # disposal contract: ngram/minhash results carry a lazy shingle
+    # checkpoint (textops.py) — callers release when done
+    from datachecker_spark import cache
+
+    cache.release_all(spark)

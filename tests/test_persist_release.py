@@ -29,6 +29,7 @@ def _n_persistent(spark) -> int:
 
 
 def test_run_suite_releases_to_zero(spark):
+    cache.release_all(spark)  # drop other tests' dangling blocks: exact accounting needs a clean base
     docs = generate_documents(spark, 400, dup_rate=0.1, seed=7)
     base = _n_persistent(spark)
 
@@ -53,6 +54,7 @@ def test_run_suite_releases_to_zero(spark):
 
 
 def test_run_suite_no_drift_releases_to_zero(spark):
+    cache.release_all(spark)  # drop other tests' dangling blocks: exact accounting needs a clean base
     docs = generate_documents(spark, 300, dup_rate=0.1, seed=3)
     base = _n_persistent(spark)
     res = run_suite(
@@ -67,6 +69,7 @@ def test_run_suite_no_drift_releases_to_zero(spark):
 
 
 def test_minhash_releases_shingle_checkpoint(spark):
+    cache.release_all(spark)  # drop other tests' dangling blocks: exact accounting needs a clean base
     flat = annotate(generate_documents(spark, 300, dup_rate=0.2, seed=11)).select(
         "doc_id", F.col("_flat").alias("text")
     )

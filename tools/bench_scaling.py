@@ -14,10 +14,13 @@ from xxhash64(seed, id)). Spark fixes its master at the first SparkSession,
 so each measurement runs in its own subprocess.
 
 Usage:
-  python tools/bench_scaling.py                 # full run: N=8 vs 32 (and 2 vs 8)
-  python tools/bench_scaling.py --pairs 2,8     # one pair
+  python tools/bench_scaling.py                 # full run: 2 vs 8 and 4 vs 16
+  python tools/bench_scaling.py --pairs 2,8 --taskset   # pinned, one pair
   python tools/bench_scaling.py --docs 300000
-Writes BENCH_SCALING.json and prints one JSON line per measurement.
+Writes BENCH_SCALING.json (or --out) and prints one JSON line per
+measurement, including the per-phase t_* split from run_suite(timings=...).
+--taskset pins each worker to exactly N cores — the faithful model of an
+N-core executor (see run_one; BASELINE.md "unpinned-proxy subsidy").
 """
 
 from __future__ import annotations
@@ -163,7 +166,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--docs", type=int, default=150_000)
-    ap.add_argument("--pairs", type=str, default="8,32")
+    ap.add_argument("--pairs", type=str, default="2,8;4,16")
     ap.add_argument("--repeat", type=int, default=3,
                     help="interleaved repeats per level; the MEDIAN is "
                          "reported (the sandbox host has uncontrolled "
