@@ -319,6 +319,79 @@ def ks_drift(
     )
 
 
+def psi_drift(
+    docs: DataFrame,
+    value: Column | str,
+    *,
+    threshold: float = 0.2,
+    per_octave: int = 4,
+    eps: float = 1e-6,
+    materialize=None,
+) -> DataFrame:
+    """Per-partition Population Stability Index vs the median histogram.
+
+    PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over histogram buckets, the standard
+    model-monitoring drift score (public metric; industry convention:
+    PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift — the
+    default threshold 0.2 sits in the convention's warning band). Unlike
+    the chi-square/KS tests it has no sample-size-dependent critical value,
+    which makes it the practical choice for monitoring dashboards where a
+    fixed actionability threshold is wanted.
+
+    Same robust-baseline design as chi_square_drift: each partition's
+    bucket proportions are compared against the per-bucket MEDIAN across
+    partitions (renormalized), so a minority of drifted partitions cannot
+    contaminate the baseline. Buckets come from the deterministic log grid
+    (_log_bucket — zero build-time jobs); proportions are floored at `eps`
+    so empty cells contribute finitely (the standard PSI zero-cell fix).
+    Default per_octave=4, COARSER than the KS grid's 16: PSI convention
+    uses ~10 buckets total, and the score's null expectation grows like
+    n_buckets/n_part — resolution must track bucket occupancy or sampling
+    noise reads as drift (KS normalizes by sqrt(n); PSI has no sample-size
+    correction by construction).
+
+    One corpus reduction (groupBy part×bucket), checkpointed once; all PSI
+    math runs on the tiny (n_parts × n_buckets) aggregate. Fully
+    SQL-expressible — the entry-query oracle mirrors it in DuckDB.
+    Returns (part, psi, n_part, drifted).
+    """
+    val = (F.col(value) if isinstance(value, str) else value).cast("double")
+    base = docs.select("part", val.alias("x")).where(F.col("x").isNotNull())
+    bucket = _log_bucket(F.col("x"), per_octave)
+    counts = base.select("part", bucket.alias("b")).groupBy("part", "b").agg(
+        F.count("*").alias("c")
+    )
+    counts = (materialize or (lambda d: d.localCheckpoint(eager=True)))(counts)
+    parts = counts.groupBy("part").agg(F.sum("c").alias("n_part"))
+    buckets = counts.select("b").distinct()
+    dense = (
+        parts.crossJoin(buckets)
+        .join(counts, ["part", "b"], "left")
+        .fillna({"c": 0})
+        .withColumn("prop", F.col("c") / F.col("n_part"))
+    )
+    med = dense.groupBy("b").agg(F.median("prop").alias("m"))
+    med_norm = med.crossJoin(F.broadcast(med.agg(F.sum("m").alias("msum"))))
+    baseline = med_norm.select(
+        "b", (F.col("m") / F.col("msum")).alias("q")
+    )
+    g = dense.join(F.broadcast(baseline), "b")
+    p = F.greatest(F.col("prop"), F.lit(float(eps)))
+    q = F.greatest(F.col("q"), F.lit(float(eps)))
+    contrib = (p - q) * F.log(p / q)
+    out = (
+        g.withColumn("_c", contrib)
+        .groupBy("part")
+        .agg(F.sum("_c").alias("psi"), F.min("n_part").alias("n_part"))
+    )
+    return out.select(
+        "part",
+        F.round("psi", 6).alias("psi"),
+        "n_part",
+        (F.col("psi") > F.lit(float(threshold))).alias("drifted"),
+    )
+
+
 def check_drift(
     docs: DataFrame,
     categorical: Column | str | None = None,

@@ -736,6 +736,83 @@ def drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "drift_psi",
+    oracle="""
+    WITH src AS (
+      SELECT lang AS part, CAST(n_chars AS DOUBLE) AS x FROM documents
+      UNION ALL
+      SELECT 'planted_shift', CAST(n_chars * 4 AS DOUBLE) FROM documents
+    ),
+    b AS (
+      SELECT part,
+             CAST(sign(x) AS BIGINT)
+               * CAST(floor(2 * log2(1 + abs(x))) AS BIGINT) AS b
+      FROM src WHERE x IS NOT NULL
+    ),
+    counts AS (SELECT part, b, count(*) AS c FROM b GROUP BY part, b),
+    parts AS (SELECT part, sum(c) AS n_part FROM counts GROUP BY part),
+    buckets AS (SELECT DISTINCT b FROM counts),
+    dense AS (
+      SELECT p.part, k.b,
+             coalesce(c.c, 0) / CAST(p.n_part AS DOUBLE) AS prop,
+             p.n_part
+      FROM parts p CROSS JOIN buckets k
+      LEFT JOIN counts c ON c.part = p.part AND c.b = k.b
+    ),
+    med AS (SELECT b, median(prop) AS m FROM dense GROUP BY b),
+    msum AS (SELECT sum(m) AS s FROM med),
+    base AS (SELECT b, m / (SELECT s FROM msum) AS q FROM med),
+    scored AS (
+      SELECT d.part,
+             (greatest(d.prop, 1e-6) - greatest(q.q, 1e-6))
+               * ln(greatest(d.prop, 1e-6) / greatest(q.q, 1e-6)) AS contrib,
+             d.n_part
+      FROM dense d JOIN base q ON d.b = q.b
+    )
+    SELECT part AS part,
+           CAST(ROUND(ROUND(sum(contrib), 6) * 10000) AS BIGINT) AS psi_e4,
+           CAST(min(n_part) AS BIGINT) AS n_part,
+           sum(contrib) > 0.5 AS drifted
+    FROM scored GROUP BY part
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per partition vs the median-histogram
+    baseline (constraints/drift.psi_drift — deterministic log buckets, one
+    corpus reduction, all PSI math on the tiny aggregate). The standard
+    model-monitoring drift score alongside the suite's chi-square/KS tests;
+    fully SQL-expressible, so hash-checked against DuckDB.
+
+    Partitions are the language slices plus one PLANTED shifted partition
+    (every n_chars ×4 = a +2-octave length shift): `drifted` must be True
+    for exactly the planted partition. Threshold 0.5 (vs the engine default
+    0.2): with ~10²-doc partitions the null PSI's sampling spread reaches
+    ~0.3 — measured clean max 0.29 vs planted 12.9, so 0.5 separates with
+    a 4×/26× margin on either side. per_octave=2 (vs
+    the suite default 16) because the gate partitions hold only ~10² docs:
+    grid resolution must track bucket occupancy or sampling noise reads as
+    drift."""
+    from datachecker_spark.constraints.drift import psi_drift
+
+    base = _read(spark, sf_dir, "documents")
+    docs = base.select(F.col("lang").alias("part"), F.col("n_chars")).unionByName(
+        base.select(
+            F.lit("planted_shift").alias("part"),
+            (F.col("n_chars") * 4).alias("n_chars"),
+        )
+    )
+    out = psi_drift(docs, "n_chars", threshold=0.5, per_octave=2)
+    # scale-and-cast (module convention): double sums reduce in partition-
+    # dependent order, the 6th decimal can flip between engines
+    return out.select(
+        "part",
+        F.round(F.col("psi") * 10000).cast("long").alias("psi_e4"),
+        F.col("n_part").cast("long").alias("n_part"),
+        "drifted",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Timestamp checks (§2.5: last-access age + future dates)
 # ---------------------------------------------------------------------------

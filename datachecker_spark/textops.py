@@ -180,6 +180,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 2,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """All pairs with exact shingle-set Jaccard ≥ threshold.
 
@@ -195,12 +196,25 @@ def ngram_jaccard_pairs(
     the capped shingle universe (the standard IDF-style pruning: a shingle
     in >max_df docs carries ~no pair evidence). The hot set is tiny by
     construction (≤ |shingles|/max_df), so the exclusion is a broadcast
-    anti-join. max_df=None keeps the uncapped oracle semantics."""
+    anti-join. max_df=None keeps the uncapped oracle semantics.
+
+    hash_shingles=True replaces each shingle string with xxhash64(shingle)
+    BEFORE the self-join: the join/groupBy keys become fixed-width longs
+    instead of variable-length strings, cutting shuffle bytes and hash/
+    compare cost on the Σ df² joined rows — the dominant stage. The result
+    is identical unless two distinct shingles of the SAME document collide
+    in 64 bits (expected collisions across a corpus with S distinct
+    shingles: S²/2⁶⁵ — ~10⁻⁷ even at S=10⁶; at 10¹²-doc scale this is the
+    intended production path, as the same hashing underlies the minhash
+    route). Default False: byte-exact oracle semantics."""
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
     ).where(F.size("sh") > 0)
-    ex = sets.select("id", F.explode("sh").alias("s"))
+    shingle = F.xxhash64(F.col("s")) if hash_shingles else F.col("s")
+    ex = sets.select("id", F.explode("sh").alias("s")).select(
+        "id", shingle.alias("s")
+    )
     # tokenize ONCE: every consumer below (hot-shingle count, both self-join
     # sides, set sizes) otherwise re-runs the interpreted HOF shingling over
     # the corpus — measured 4 full tokenization passes per query (the same

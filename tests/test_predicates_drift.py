@@ -7,7 +7,12 @@ import random
 from pyspark.sql import functions as F
 
 from datachecker_spark.constraints.diraggs import check_partition_sizes
-from datachecker_spark.constraints.drift import chi_square_drift, check_drift, ks_drift
+from datachecker_spark.constraints.drift import (
+    chi_square_drift,
+    check_drift,
+    ks_drift,
+    psi_drift,
+)
 from datachecker_spark.constraints.predicates import (
     check_doc_names,
     check_json_spans,
@@ -153,6 +158,69 @@ def test_ks_drift(spark):
     res = {r["part"]: r["drifted"] for r in ks_drift(docs, doc_size("spans")).collect()}
     assert res["p_shift"] is True
     assert all(res[p] is False for p in CLEAN_PARTS)
+
+
+def test_psi_drift(spark):
+    from datachecker_spark.fingerprint import doc_size
+
+    docs = _drift_docs(spark)
+    # per_octave=2: 300-doc partitions over ~11 occupied buckets keep the
+    # null PSI ≈ n_buckets/n_part ≈ 0.04, far under the 0.2 threshold (the
+    # occupancy rule in psi_drift's docstring)
+    res = {
+        r["part"]: r
+        for r in psi_drift(docs, doc_size("spans"), per_octave=2).collect()
+    }
+    # p_shift's sizes live in [200,300) vs clean [0,100): disjoint bucket
+    # mass, PSI far above the 0.2 actionability threshold
+    assert res["p_shift"]["drifted"] is True
+    assert res["p_shift"]["psi"] > 0.5
+    assert all(res[p]["drifted"] is False for p in CLEAN_PARTS)
+    # A-vs-A sanity: iid partitions score near 0 (well under threshold)
+    assert all(res[p]["psi"] < 0.15 for p in CLEAN_PARTS)
+
+
+def test_psi_drift_matches_reference_formula(spark):
+    """Cross-check the columnar PSI against a literal Python recomputation
+    (same buckets, same eps floor, same median baseline)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from datachecker_spark.fingerprint import doc_size
+
+    docs = _drift_docs(spark)
+    got = {r["part"]: r["psi"] for r in psi_drift(docs, doc_size("spans")).collect()}
+
+    rows = docs.select(
+        "part", doc_size("spans").cast("double").alias("x")
+    ).collect()
+    def bucket(x: float) -> int:
+        return int(math.copysign(1, x)) * int(
+            math.floor(4 * math.log2(1 + abs(x)))
+        ) if x != 0 else 0
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for r in rows:
+        counts[r["part"]][bucket(r["x"])] += 1
+    buckets = sorted({b for c in counts.values() for b in c})
+    props = {
+        p: {b: c[b] / sum(c.values()) for b in buckets}
+        for p, c in counts.items()
+    }
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    med = {b: median([props[p][b] for p in props]) for b in buckets}
+    msum = sum(med.values())
+    base = {b: m / msum for b, m in med.items()}
+    eps = 1e-6
+    for p in props:
+        psi = sum(
+            (max(props[p][b], eps) - max(base[b], eps))
+            * math.log(max(props[p][b], eps) / max(base[b], eps))
+            for b in buckets
+        )
+        assert abs(got[p] - psi) < 1e-4, p
 
 
 def test_check_drift_violations(spark):

@@ -40,6 +40,24 @@ def test_ngram_jaccard_exact(spark):
     assert ("a", "c") not in pairs  # no shared shingle → never a candidate
 
 
+def test_ngram_jaccard_hashed_shingles_identical(spark):
+    """hash_shingles=True (long join keys — the production path) must
+    produce exactly the same pairs and jaccard values as the byte-exact
+    string-key path on a corpus with shared, disjoint and near-dup docs."""
+    rows = [("base", BASE), ("near", NEAR), ("other", OTHER)] + [
+        (f"d{i}", f"{BASE} suffix variant {i} {'pad ' * (i % 5)}") for i in range(20)
+    ]
+    df = _df(spark, rows)
+    def key(r):
+        return (r["id_a"], r["id_b"])
+    exact = {key(r): r["jaccard"]
+             for r in X.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    hashed = {key(r): r["jaccard"]
+              for r in X.ngram_jaccard_pairs(
+                  df, threshold=0.1, hash_shingles=True).collect()}
+    assert exact == hashed and len(exact) > 10
+
+
 def test_minhash_near_dups(spark):
     df = _df(spark, [("base", BASE), ("near", NEAR), ("other", OTHER)])
     pairs = X.minhash_near_dup_pairs(df, threshold=0.6).collect()
