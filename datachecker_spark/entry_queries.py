@@ -379,10 +379,18 @@ def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_dedup")  # rows-only: xxhash64/getbit not portable to DuckDB
 def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs, COMPLETE to hamming ≤ 6: 8 blocks with
+    2-block composite keys (pigeonhole: ≤6 differing blocks of 8 leaves ≥2
+    intact, so every qualifying pair shares one of the C(8,2)=28 exact
+    key pairs). Round-3 shipped chunks=4 here, which only guarantees
+    hamming ≤ 3 — pairs at distance 4–6 were found only by luck; the
+    completeness is now asserted against a brute-force all-pairs
+    bit_count(xor) join in tests/test_textops.py (row count grows vs r3
+    accordingly — the old output was silently incomplete)."""
     from datachecker_spark.textops import simhash_near_dup_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=6)
+    return simhash_near_dup_pairs(docs, max_hamming=6, chunks=8, key_chunks=2)
 
 
 @query(

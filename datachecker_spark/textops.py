@@ -314,24 +314,60 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     *,
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int | None = None,
+    key_chunks: int = 1,
 ) -> DataFrame:
-    """Pairs with simhash hamming distance ≤ max_hamming.
+    """ALL pairs with simhash hamming distance ≤ max_hamming (complete).
 
-    Pigeonhole banding: with `chunks` 16-bit chunks, any pair within
-    hamming ≤ chunks−1 shares at least one exact chunk — candidates come
-    from a chunk equi-join, verification is bit_count(xor) on the join."""
-    assert max_hamming < chunks * 16
-    base = simhash_table(df, id_col, text_col)
-    width = 64 // chunks
-    chunk_vals = F.array(
-        *[
-            F.shiftrightunsigned(F.col("sh"), c * width).bitwiseAND(F.lit((1 << width) - 1))
-            for c in range(chunks)
-        ]
+    Pigeonhole banding (Manku/Jain/Sarma, WWW'07): split the 64 bits into
+    `chunks` contiguous blocks (widths as equal as possible). A pair within
+    hamming ≤ max_hamming differs in at most max_hamming blocks, hence
+    agrees on ≥ chunks − max_hamming blocks — so with chunks ≥ max_hamming+1
+    the pair always shares at least one exact block, and candidates from the
+    per-block equi-join are COMPLETE. Verification is exact
+    bit_count(xor) on the joined fingerprints, so precision is always 1.
+
+    chunks=None derives max(4, max_hamming+1): the minimal complete banding,
+    floored at 4 so the default max_hamming=3 keeps 16-bit keys.
+
+    key_chunks (r) is the SELECTIVITY dial for scale: joining on single
+    blocks gives 64/chunks-bit keys (2^(64/chunks) buckets — weak when
+    chunks is large). Since agreeing pairs share ≥ chunks − max_hamming
+    whole blocks, joining instead on every r-combination of blocks
+    (r ≤ chunks − max_hamming keeps completeness, asserted) widens the key
+    to r·64/chunks bits at a C(chunks, r) explode factor. E.g. max_hamming=6:
+    chunks=8, key_chunks=2 → 16-bit composite keys, 28 keys/doc — 128×
+    more selective buckets than the minimal 7×9-bit banding for 4× the
+    explode. Candidate volume per key table ~ n²/2^(key bits), so pick r to
+    keep that sub-linear in n at the target corpus size."""
+    if chunks is None:
+        chunks = max(4, max_hamming + 1)
+    assert max_hamming < chunks <= 64, (
+        "pigeonhole completeness needs chunks >= max_hamming+1"
     )
+    assert 1 <= key_chunks <= chunks - max_hamming, (
+        "completeness of r-combination keys needs r <= chunks - max_hamming"
+    )
+    base = simhash_table(df, id_col, text_col)
+    # as-equal-as-possible block widths (64 need not divide evenly)
+    widths = [64 // chunks + (1 if c < 64 % chunks else 0) for c in range(chunks)]
+    offsets = [sum(widths[:c]) for c in range(chunks)]
+
+    def block(c: int) -> Column:
+        if widths[c] >= 64:  # chunks=1: the whole fingerprint is the key
+            return F.col("sh")
+        return F.shiftrightunsigned(F.col("sh"), offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
+        )
+
+    from itertools import combinations
+
+    subsets = list(combinations(range(chunks), key_chunks))
+    # composite key per r-subset: xxhash64 of the member blocks (fixed-width
+    # long join keys regardless of r)
+    keys = F.array(*[F.xxhash64(*[block(c) for c in sub]) for sub in subsets])
     chunked = base.select(
-        "id", "sh", F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val")
+        "id", "sh", F.posexplode(keys).alias("chunk_idx", "chunk_val")
     )
     a = chunked.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "chunk_val")
     b = chunked.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "chunk_val")

@@ -88,6 +88,75 @@ def test_simhash_properties(spark):
     assert pairs[("a", "b")] == 0
 
 
+def _brute_force_hamming_pairs(df, max_hamming):
+    """All-pairs bit_count(xor) join — the exact (quadratic) oracle."""
+    base = X.simhash_table(df)
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("h"))
+        .where(F.col("h") <= max_hamming)
+        .collect()
+    }
+
+
+def test_simhash_completeness_vs_brute_force(spark):
+    """The round-3 bug: the entry query ran max_hamming=6 over chunks=4,
+    whose pigeonhole guarantee stops at hamming 3 — pairs at distance 4–6
+    were found only when they luckily shared a 16-bit chunk. The banding
+    must be COMPLETE: every pair the brute-force all-pairs hamming join
+    finds, at the minimal banding AND at the wide-key variant."""
+    # planted corpus: perturbation ladders off two base texts — yields a
+    # spread of pairwise hamming distances including the 4..6 band
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(60):
+        mutated = list(words)
+        for j in range(i % 7):
+            mutated[(i * 5 + j * 3) % len(mutated)] = f"mut{i}_{j}"
+        rows.append((f"p{i:02d}", " ".join(mutated)))
+    rows += [(f"q{i:02d}", f"{OTHER} tail{i % 4} pad{i % 3}") for i in range(40)]
+    df = _df(spark, rows)
+    for max_hamming in (3, 6):
+        expected = _brute_force_hamming_pairs(df, max_hamming)
+        got_minimal = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in X.simhash_near_dup_pairs(df, max_hamming=max_hamming).collect()
+        }
+        assert got_minimal == expected, f"minimal banding incomplete at k={max_hamming}"
+    # wide-key variant used by the entry query (chunks=8, key_chunks=2)
+    expected6 = _brute_force_hamming_pairs(df, 6)
+    got_wide = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in X.simhash_near_dup_pairs(
+            df, max_hamming=6, chunks=8, key_chunks=2
+        ).collect()
+    }
+    assert got_wide == expected6, "wide-key banding incomplete at k=6"
+    assert expected6, "planted corpus produced no pairs — test is vacuous"
+    # the test must actually exercise the 4..6 band the r3 code missed
+    assert any(h > 3 for h in expected6.values()), (
+        "no pairs at hamming 4-6 — regression test is vacuous"
+    )
+
+
+def test_simhash_rejects_incomplete_banding():
+    import pytest as _pt
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    df = _df(spark, [("a", BASE), ("b", NEAR)])
+    with _pt.raises(AssertionError):
+        X.simhash_near_dup_pairs(df, max_hamming=6, chunks=4)  # the r3 call shape
+    with _pt.raises(AssertionError):
+        X.simhash_near_dup_pairs(df, max_hamming=6, chunks=8, key_chunks=3)
+
+
 def test_winnow_fingerprints(spark):
     df = _df(spark, [("a", BASE), ("b", BASE), ("c", OTHER)])
     fps = X.winnow_fingerprints(df)
