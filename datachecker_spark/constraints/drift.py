@@ -60,6 +60,7 @@ from datachecker_spark.contract import SEV_WARNING, VIOLATION_COLS
 
 CHECK_CHI2 = "drift_chi2"
 CHECK_KS = "drift_ks"
+CHECK_PSI = "drift_psi"
 
 # Acklam's rational-approximation coefficients for the inverse standard
 # normal CDF (public algorithm, |rel err| < 1.15e-9).
@@ -398,11 +399,18 @@ def check_drift(
     numeric: Column | str | None = None,
     *,
     alpha: float = 0.01,
+    psi: bool = False,
+    psi_threshold: float = 0.2,
+    psi_per_octave: int = 4,
     materialize=None,
 ) -> DataFrame:
     """Violations (doc_id NULL, partition-scoped) for drifted partitions.
     materialize: optional df->df hook threaded to the stat builders'
-    aggregate checkpoints (see runner.materializer)."""
+    aggregate checkpoints (see runner.materializer). psi=True additionally
+    scores the numeric column with the Population Stability Index
+    (psi_drift — the fixed-threshold monitoring score alongside the
+    significance-tested KS; one extra reduction of the same cached column,
+    overlapped with the rest of the drift build by the runner)."""
     spark = docs.sparkSession
     outs = []
 
@@ -437,6 +445,17 @@ def check_drift(
                                             F.col("ks").cast("string"),
                                             F.col("crit").cast("string"),
                                             F.col("n_part")))
+        )
+    if psi and numeric is not None:
+        ps = psi_drift(
+            docs, numeric, threshold=psi_threshold,
+            per_octave=psi_per_octave, materialize=materialize,
+        ).where("drifted")
+        outs.append(
+            v(ps, CHECK_PSI, F.format_string("psi=%s > threshold=%s (n=%d)",
+                                             F.col("psi").cast("string"),
+                                             F.lit(str(psi_threshold)),
+                                             F.col("n_part")))
         )
     if not outs:
         from datachecker_spark.contract import empty_violations

@@ -118,10 +118,17 @@ def fused_doc_checks(
         )
     ts_present = [c for c in ("ingest_ts", "modified_ts") if c in docs.columns]
     if timestamps and ts_present:
-        now_c = (
-            F.current_timestamp() if now is None
-            else F.lit(now).cast("timestamp")
-        )
+        if now is None:
+            # sample ONCE at plan build, as a literal — current_timestamp()
+            # is re-evaluated per batch, so two batches of the same fused
+            # plan could disagree on the future/stale cutoff (run_suite
+            # always samples first; this guards direct callers)
+            import datetime as _dt
+
+            now = _dt.datetime.now(_dt.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+        now_c = F.lit(now).cast("timestamp")
         cutoff = now_c - F.expr(f"INTERVAL {int(max_age_days)} DAYS")
         newest = F.greatest(*[F.col(c).cast("timestamp") for c in ts_present])
         any_future = F.lit(False)

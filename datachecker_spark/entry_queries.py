@@ -359,11 +359,15 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the hot-shingle document-frequency guard active (max_df=1000,
     mirrored in the oracle's hot CTE) — the capped universe is the exact
     semantics at scale, where an uncapped stop-phrase shingle would make
-    the self-join quadratic."""
+    the self-join quadratic. hash_shingles=True is the production path
+    (fixed-width long join keys + tokenize-once checkpoint of the hashed
+    exploded table); values identical to the string-key oracle unless two
+    shingles of the same doc collide in 64 bits (~S²/2⁶⁵ — the identity is
+    also pytest-asserted on a mixed corpus)."""
     from datachecker_spark.textops import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.2, max_df=1000)
+    return ngram_jaccard_pairs(docs, threshold=0.2, max_df=1000, hash_shingles=True)
 
 
 @query("minhash_lsh_dedup")  # rows-only: xxhash64 has no DuckDB equivalent

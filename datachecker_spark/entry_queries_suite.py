@@ -789,8 +789,8 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for exactly the planted partition. Threshold 0.5 (vs the engine default
     0.2): with ~10²-doc partitions the null PSI's sampling spread reaches
     ~0.3 — measured clean max 0.29 vs planted 12.9, so 0.5 separates with
-    a 4×/26× margin on either side. per_octave=2 (vs
-    the suite default 16) because the gate partitions hold only ~10² docs:
+    a 4×/26× margin on either side. per_octave=2 (vs psi_drift's default 4;
+    the KS log grid uses 16) because the gate partitions hold only ~10² docs:
     grid resolution must track bucket occupancy or sampling noise reads as
     drift."""
     from datachecker_spark.constraints.drift import psi_drift

@@ -78,6 +78,14 @@ class SuiteConfig:
     max_items_per_partition: int = diraggs.DEFAULT_MAX_ITEMS
     drift: bool = True
     drift_alpha: float = 0.01
+    # PSI monitoring score on the numeric drift column (drift.psi_drift):
+    # the fixed-threshold complement of the significance-tested chi2/KS —
+    # one extra reduction of the same cached column, built on the same
+    # background drift thread. Enabled with `drift`; gate both with the
+    # drift toggle (GLOBAL_FIELDS semantics apply to the whole family).
+    drift_psi: bool = True
+    psi_threshold: float = 0.2
+    psi_per_octave: int = 4
     n_salts: int = 64
     # timestamp checks (stats.zig:165-187); `now` is a fixed plan literal.
     # None (default) = sample the wall clock ONCE per run_suite call — the
@@ -114,7 +122,8 @@ class SuiteConfig:
     # compares partitions against each other. These cannot be resumed
     # per-partition — run_with_lineage recomputes them over the full input.
     GLOBAL_FIELDS = (
-        "duplicates", "unique_ids", "drift", "partition_sizes", "integrity_missing",
+        "duplicates", "unique_ids", "drift", "drift_psi", "partition_sizes",
+        "integrity_missing",
     )
 
     def local_only(self) -> "SuiteConfig":
@@ -170,6 +179,8 @@ class SuiteConfig:
             names += [diraggs.CHECK_MANY_ITEMS, diraggs.CHECK_ONE_ITEM, diraggs.CHECK_EMPTY_PART]
         if self.drift:
             names += [drift.CHECK_CHI2, drift.CHECK_KS]
+            if self.drift_psi:
+                names.append(drift.CHECK_PSI)
         if self.timestamps:
             names += [stats.CHECK_FUTURE, stats.CHECK_STALE]
         return names
@@ -384,7 +395,9 @@ def run_suite(
             has_media = (F.col("n_media") > 0).cast("int")
             d = drift.check_drift(
                 docs, categorical=has_media, numeric=F.col("size"),
-                alpha=cfg.drift_alpha, materialize=_mat_track,
+                alpha=cfg.drift_alpha, psi=cfg.drift_psi,
+                psi_threshold=cfg.psi_threshold,
+                psi_per_octave=cfg.psi_per_octave, materialize=_mat_track,
             )
             d = mat(d)
             t["drift_total"] = round(time.perf_counter() - s0, 2)
@@ -404,9 +417,13 @@ def run_suite(
 
     t["branch_build"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
-    violations = parts[0]
-    for p in parts[1:]:
-        violations = violations.unionByName(p)
+    # drift-only configs leave the branch list empty — the violations union
+    # then consists solely of the drift future's block
+    violations = None
+    if parts:
+        violations = parts[0]
+        for p in parts[1:]:
+            violations = violations.unionByName(p)
     # the union of ~18 branches carries one output partition per branch
     # partition (branches × shuffle.partitions ≈ thousands of tiny tasks);
     # in local mode the driver's single-threaded scheduler at ~ms/task then
@@ -420,7 +437,8 @@ def run_suite(
     # (utilization 0.79); 4 waves of half-size tasks smooth it while task
     # launches stay ~100× below the un-coalesced flood
     n_out = max(4 * docs.sparkSession.sparkContext.defaultParallelism, 16)
-    violations = violations.coalesce(n_out)
+    if violations is not None:
+        violations = violations.coalesce(n_out)
     # violations feed both the sink and the metrics aggregation. Materialize
     # the (small) result ONCE, eagerly, through the configured seam
     # (localCheckpoint by default: truncates the 18-branch union lineage so
@@ -429,15 +447,21 @@ def run_suite(
     # is a DataFrame *write*, the cache is not populated and the metrics
     # pass re-evaluated every branch, doubling suite wall time with high
     # variance; the "persist" mode counts eagerly for the same reason.)
-    violations = mat(violations)
+    if violations is not None:
+        violations = mat(violations)
     t["union_mat"] = round(time.perf_counter() - t0, 2)
     if drift_fut is not None:
         # both sides are materialized blocks; the union itself is lazy and
         # cheap to re-read from the sink write AND the metrics aggregation
-        violations = violations.unionByName(drift_fut.result())
+        d = drift_fut.result()
+        violations = d if violations is None else violations.unionByName(d)
         # the final drift block is materialized — its obs/counts inputs
         # are now pure insurance against a recomputation that can't happen
         cache.release(*drift_intermediates)
+    if violations is None:  # every family disabled: empty, stable schema
+        from datachecker_spark.contract import empty_violations
+
+        violations = mat(empty_violations(docs.sparkSession))
     t["violations_job"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
 

@@ -110,25 +110,34 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    materialize=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold).
 
     shingle → minhash → band → bucket-join for candidates, then EXACT
     Jaccard verification on the distinct shingle sets (estimated similarity
-    never decides membership — the signature only prunes the pair space)."""
+    never decides membership — the signature only prunes the pair space).
+
+    materialize: df->df hook for the shingle-set materialization — the same
+    cluster-deploy seam the drift builders accept (runner.materializer:
+    reliable checkpoint / persist for deployments with executor churn).
+    Default: lazy localCheckpoint (fastest; blocks die with executors)."""
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
     ).where(F.size("sh") > 0)
     # materialize the shingle sets once (read 3x below: signatures + both
-    # verify sides). Lazy localCheckpoint, NOT persist: persist() would
-    # double-cache (the block manager AND the checkpoint store) with no
+    # verify sides). Default lazy localCheckpoint, NOT persist: persist()
+    # would double-cache (the block manager AND the checkpoint store) with no
     # unpersist point inside a lazy API. The block is NOT GC-reclaimed
     # (cache.py: the ContextCleaner path is dead from Python) — callers
     # done with the result dispose of it with cache.release(result_df),
     # which reaches this block as a LogicalRDD leaf of the returned plan.
-    base = base.localCheckpoint(eager=False)
+    # Persist-mode materializers (whose InMemoryRelation is NOT a LogicalRDD
+    # leaf) track the intermediate in the hook and release it directly —
+    # the same _mat_track pattern the runner uses for drift's aggregates.
+    base = (materialize or (lambda d: d.localCheckpoint(eager=False)))(base)
     # signatures via the relational (codegen'd) path; candidates carry ONLY
     # ids through the band explode / self-join / dedup — shuffling the
     # shingle arrays 16× per doc is the data amplification that kills this
@@ -181,6 +190,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     hash_shingles: bool = False,
+    materialize=None,
 ) -> DataFrame:
     """All pairs with exact shingle-set Jaccard ≥ threshold.
 
@@ -206,7 +216,23 @@ def ngram_jaccard_pairs(
     in 64 bits (expected collisions across a corpus with S distinct
     shingles: S²/2⁶⁵ — ~10⁻⁷ even at S=10⁶; at 10¹²-doc scale this is the
     intended production path, as the same hashing underlies the minhash
-    route). Default False: byte-exact oracle semantics."""
+    route). A same-doc collision would merge two shingles BEFORE
+    array_distinct sees the hashes, leaving duplicate (id, hash) rows in
+    the exploded table — inflating intersections multiplicatively in the
+    self-join as well as set sizes; same negligible probability, noted for
+    completeness. Default False: byte-exact oracle semantics.
+
+    materialize: df->df hook for the tokenize-once materialization of the
+    exploded shingle table (cluster-deploy seam, see minhash_near_dup_pairs).
+    Default: lazy localCheckpoint. Measured at sf0.1/local[32], best-of-2
+    cold (release_all between samples), 2026-08-18: string re-derive 78.8s,
+    string checkpoint 39.9s, hashed re-derive 50.4s, hashed checkpoint
+    26.3s — the checkpoint wins for BOTH key types (4 interpreted-HOF
+    tokenization passes cost more than the block write/read), and hashing
+    the keys before the checkpoint cuts the materialized bytes and the
+    self-join hash/compare cost on top. hash_shingles=True is therefore
+    the production default for the entry query; the bench-visible r3
+    regression (45.4s) was the string-key checkpoint."""
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
@@ -217,10 +243,9 @@ def ngram_jaccard_pairs(
     )
     # tokenize ONCE: every consumer below (hot-shingle count, both self-join
     # sides, set sizes) otherwise re-runs the interpreted HOF shingling over
-    # the corpus — measured 4 full tokenization passes per query (the same
-    # re-derivation class VERDICT r2 flagged on minhash). Lazy localCheckpoint,
-    # caller disposes via cache.release(result) — see minhash_near_dup_pairs.
-    ex = ex.localCheckpoint(eager=False)
+    # the corpus — measured 4 full tokenization passes per query. Caller
+    # disposes via cache.release(result) — see minhash_near_dup_pairs.
+    ex = (materialize or (lambda d: d.localCheckpoint(eager=False)))(ex)
     if max_df is not None:
         hot = (
             ex.groupBy("s").agg(F.count("*").alias("_df")).where(F.col("_df") > max_df)

@@ -148,6 +148,20 @@ def test_suite_fused_equals_unfused(spark):
     _same_multiset(verdicts(True), verdicts(False))
 
 
+def test_fused_now_pinned_to_literal(spark):
+    """now=None must sample the wall clock ONCE at plan build (a literal),
+    never compile to current_timestamp() — which is re-evaluated per batch,
+    so two batches of one fused plan could disagree on the future/stale
+    cutoff (VERDICT r3 #10). The literal makes batch agreement structural."""
+    docs = _corpus(spark, n=200)
+    df = fused.fused_doc_checks(docs, now=None, confidential=False)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "current_timestamp" not in analyzed
+    # and the sampled literal actually gates: the generator's 2024-epoch
+    # timestamps all read stale against the real (2026+) wall clock
+    assert df.where(F.col("check") == stats.CHECK_STALE).count() > 0
+
+
 def test_fused_plan_is_single_scan(spark):
     """The fused ref/span passes stay whole-stage-codegen with no Python and
     exactly one scan of the corpus each."""

@@ -82,3 +82,49 @@ def test_minhash_releases_shingle_checkpoint(spark):
     n = cache.release(pairs)
     assert n == 1
     assert _n_persistent(spark) == base
+
+
+def test_minhash_persist_mode_seam(spark):
+    """VERDICT r3 #3: textops accepts the runner's materializer, so cluster
+    deploys get reliable/persist semantics through the SAME seam drift uses.
+    Under checkpoint_mode='persist' the intermediate is a persisted Dataset
+    (InMemoryRelation, NOT a LogicalRDD leaf), so the hook tracks it and the
+    caller releases the tracked handle — exact block accounting."""
+    from datachecker_spark.runner import materializer
+    from datachecker_spark.textops import ngram_jaccard_pairs
+
+    cache.release_all(spark)
+    flat = annotate(generate_documents(spark, 300, dup_rate=0.2, seed=11)).select(
+        "doc_id", F.col("_flat").alias("text")
+    )
+    base = _n_persistent(spark)
+    mat = materializer(SuiteConfig(checkpoint_mode="persist"), spark)
+    tracked: list = []
+
+    def mat_track(d):
+        d = mat(d)
+        tracked.append(d)
+        return d
+
+    pairs = minhash_near_dup_pairs(flat, threshold=0.6, materialize=mat_track)
+    expected = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert len(tracked) == 1
+    assert _n_persistent(spark) - base == 1  # the persisted shingle sets
+    assert cache.release(*tracked) == 1
+    assert _n_persistent(spark) == base
+
+    # same result as the default localCheckpoint path
+    default_pairs = minhash_near_dup_pairs(flat, threshold=0.6)
+    assert {(r["id_a"], r["id_b"]) for r in default_pairs.collect()} == expected
+    cache.release(default_pairs)
+
+    # ngram path: hashed production config under the persist seam
+    tracked.clear()
+    out = ngram_jaccard_pairs(
+        flat, threshold=0.2, hash_shingles=True, materialize=mat_track
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert len(tracked) == 1 and _n_persistent(spark) - base == 1
+    assert cache.release(*tracked) == 1
+    assert _n_persistent(spark) == base
+    assert got >= expected  # exact-jaccard superset sanity (no LSH pruning)

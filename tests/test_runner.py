@@ -129,6 +129,60 @@ def test_lineage_resume(spark, tmp_path):
     assert r3 == {"parts_processed": 0, "parts_skipped": n_parts}
 
 
+def test_psi_drift_in_suite(spark):
+    """VERDICT r3 #4: psi_drift is reachable from run_suite. A planted
+    partition whose documents are 4x longer (a +2-octave size shift) must
+    be flagged by the PSI check, the metrics grid must carry drift_psi
+    rows, and the chi2/KS verdicts must be identical with the PSI toggle
+    on or off."""
+    docs, _, _ = _corpus(spark, n=1200)
+    planted = docs.withColumn("part", F.lit("planted_shift")).withColumn(
+        "doc_id", F.concat(F.lit("shift_"), F.col("doc_id"))
+    ).withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["text"].isNotNull(),
+                    F.concat(s["text"], s["text"], s["text"], s["text"]),
+                ).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    all_docs = docs.unionByName(planted)
+    base = dict(
+        duplicates=False, unique_ids=False, empty_docs=False, large_docs=False,
+        name_rules=False, name_length=False, ref_path_length=False,
+        temp_refs=False, legacy_refs=False, kind_consistency=False,
+        json_spans=False, confidential=False, referential=False,
+        integrity=False, integrity_missing=False, partition_sizes=False,
+        timestamps=False,
+        # tiny (~60-85-doc) partitions: coarsest grid + threshold above the
+        # null sampling spread (measured clean max 0.57 at per_octave=1 vs
+        # planted 7.87 — threshold 2.0 separates with 3.5x/3.9x margins)
+        psi_threshold=2.0, psi_per_octave=1,
+    )
+    res_on = run_suite(all_docs, config=SuiteConfig(drift_psi=True, **base))
+    psi_rows = res_on.violations.where(F.col("check") == "drift_psi")
+    assert {r["part"] for r in psi_rows.collect()} == {"planted_shift"}
+    assert (
+        res_on.metrics.where(F.col("check") == "drift_psi").count()
+        == all_docs.select("part").distinct().count()
+    )
+
+    res_off = run_suite(all_docs, config=SuiteConfig(drift_psi=False, **base))
+    key = ["check", "severity", "doc_id", "part", "detail"]
+    a = res_on.violations.where(F.col("check") != "drift_psi").groupBy(key).count()
+    b = res_off.violations.groupBy(key).count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    res_on.release()
+    res_off.release()
+
+
 def test_checkpoint_modes_cluster_seam(spark, tmp_path):
     """The cluster-deploy materialization seam (SuiteConfig.checkpoint_mode):
     'reliable' (checkpoint() under a dir — blocks survive executor loss) and
