@@ -123,16 +123,28 @@ TEMP_EXACT_NAMES = [
     ".DS_Store", "desktop.ini", "ehthumbs.db", "hiberfil.sys",
     "Thumbs.db", "THUMBS.DB",
 ]
-# path fragments flagged anywhere in the ref (useless.zig CONTAINS); the
-# engine's refs use '/' separators, so only the Unix-form entries apply —
-# the reference carries Windows '\\' twins of the same six locations
-TEMP_PATH_FRAGMENTS = [
+# path fragments flagged anywhere in the ref — FULL parity with the
+# reference's 20-entry CONTAINS list (useless.zig:20-41), Windows '\'
+# forms included verbatim so backslash-separated media_refs are covered.
+REFERENCE_PATH_FRAGMENTS = [
+    "\\$Recycle.bin\\", "\\AppData\\Local\\Temp", "\\Windows\\Temp",
+    "\\AppData\\Local\\Microsoft\\INetCache\\IE",
+    "\\AppData\\Local\\Microsoft\\INetCache\\Content.IE5",
+    ".~lock.", ".git/objects/tmp_", ".git\\objects\\tmp_",
+    ".hg/store/journal", ".hg\\store\\journal",
+    ".svn/tmp/", ".svn\\tmp\\", ".torrent.", "/tmp/", "\\tmp\\",
+    "node_modules/", "node_modules\\", "pycache/", "pycache\\",
+    "__pycache__",
+]
+# engine extension: the five Windows-only locations additionally get
+# '/'-separator twins (the engine's media_refs normally use '/'; the
+# reference never sees those paths slash-separated, so it carries none)
+UNIX_TWIN_FRAGMENTS = [
     "$Recycle.bin/", "AppData/Local/Temp", "Windows/Temp",
     "AppData/Local/Microsoft/INetCache/IE",
     "AppData/Local/Microsoft/INetCache/Content.IE5",
-    ".~lock.", ".git/objects/tmp_", ".hg/store/journal", ".svn/tmp/",
-    ".torrent.", "/tmp/", "node_modules/", "pycache/", "__pycache__",
 ]
+TEMP_PATH_FRAGMENTS = REFERENCE_PATH_FRAGMENTS + UNIX_TWIN_FRAGMENTS
 # filename prefix/suffix pairs; empty string = no constraint
 # (useless.zig START_END, 14 pairs)
 TEMP_START_END = [

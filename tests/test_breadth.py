@@ -29,7 +29,30 @@ def test_table_breadth_matches_reference():
     assert len(TEMP_START_END) == 14
     assert len(LEGACY_FORMATS) == 110
     assert len(DEFAULT_PATTERNS) >= 220
-    assert len(TEMP_PATH_FRAGMENTS) >= 14
+    # exact parity with the reference's 20-entry CONTAINS list
+    # (useless.zig:20-41, Windows '\' forms verbatim) + the five documented
+    # '/'-twin engine extensions
+    from datachecker_spark.constraints.predicates import (
+        REFERENCE_PATH_FRAGMENTS,
+        UNIX_TWIN_FRAGMENTS,
+    )
+
+    reference_contains = [
+        "\\$Recycle.bin\\", "\\AppData\\Local\\Temp", "\\Windows\\Temp",
+        "\\AppData\\Local\\Microsoft\\INetCache\\IE",
+        "\\AppData\\Local\\Microsoft\\INetCache\\Content.IE5",
+        ".~lock.", ".git/objects/tmp_", ".git\\objects\\tmp_",
+        ".hg/store/journal", ".hg\\store\\journal",
+        ".svn/tmp/", ".svn\\tmp\\", ".torrent.", "/tmp/", "\\tmp\\",
+        "node_modules/", "node_modules\\", "pycache/", "pycache\\",
+        "__pycache__",
+    ]
+    assert set(REFERENCE_PATH_FRAGMENTS) == set(reference_contains)
+    assert len(REFERENCE_PATH_FRAGMENTS) == 20
+    assert len(UNIX_TWIN_FRAGMENTS) == 5
+    assert set(TEMP_PATH_FRAGMENTS) == set(reference_contains) | set(
+        UNIX_TWIN_FRAGMENTS
+    )
 
 
 def test_temp_ref_matcher_families(spark):
@@ -44,6 +67,8 @@ def test_temp_ref_matcher_families(spark):
         ("x/Thumbs.db", True),             # exact name
         ("x/archive.tar", False),
         ("x/tmpfile.dat", True),           # tmp* prefix
+        (r"C:\Users\u\AppData\Local\Temp\a.dat", True),   # Windows fragment
+        (r"C:\proj\node_modules\lib.js", True),           # '\' twin
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "ref string")
     got = {
