@@ -518,6 +518,7 @@ def run_with_lineage(
     media_catalog: DataFrame | None = None,
     expected_fingerprints: DataFrame | None = None,
     expected_parts: DataFrame | None = None,
+    expectations_path: str | None = None,
     config: SuiteConfig | None = None,
 ) -> dict:
     """Checkpointed suite run.
@@ -536,10 +537,22 @@ def run_with_lineage(
     a duplicate group spanning an old and a new partition is only visible to
     a full-corpus pass. Total verdicts = union of both table pairs.
 
-    Returns {"parts_processed": n, "parts_skipped": m}.
+    expectations_path: the live integrity-expectation table. When set, it is
+    read as the expectation input (unless expected_fingerprints overrides),
+    and the run's create-semantics rows (SuiteResult.write_back) are MERGED
+    back into it — Iceberg MERGE INTO when the runtime is present, staged
+    parquet read-union-overwrite otherwise (io.merge_expectations; the
+    reference writes the sidecar in place, integrity.zig:172-180). The merge
+    lands BEFORE the lineage commit, in the same write-then-commit ordering
+    as the verdict tables: a crash between merge and commit re-runs the
+    batch, and the upsert-by-key re-merge is idempotent.
+
+    Returns {"parts_processed": n, "parts_skipped": m, "expectations_merged": k}.
     """
     spark = docs.sparkSession
     cfg = config or SuiteConfig()
+    if expectations_path is not None and expected_fingerprints is None:
+        expected_fingerprints = tio.read_table(spark, expectations_path)
     lineage_path = f"{output_dir}/lineage"
     done = completed_parts(spark, lineage_path)
     todo = docs
@@ -552,7 +565,10 @@ def run_with_lineage(
     todo_parts = [r["part"] for r in todo.select("part").distinct().collect()]
     if not todo_parts:
         todo.unpersist()
-        return {"parts_processed": 0, "parts_skipped": n_skipped}
+        out = {"parts_processed": 0, "parts_skipped": n_skipped}
+        if expectations_path is not None:
+            out["expectations_merged"] = 0
+        return out
 
     # 1. partition-local constraints over the incomplete partitions only
     res = run_suite(
@@ -580,6 +596,15 @@ def run_with_lineage(
         tio.write_table(gres.metrics, f"{output_dir}/metrics_global", mode="overwrite")
         gres.release()
 
+    # 2b. expectation write-back, AFTER the last read of the pre-merge
+    # snapshot (the global pass's missing-expectation check) and BEFORE the
+    # lineage commit — write-then-commit ordering, and the upsert-by-key
+    # re-merge after a crash-replay is idempotent. write_back is a
+    # materialized block, so the merge never re-triggers the corpus scan.
+    n_merged = 0
+    if expectations_path is not None and res.write_back is not None:
+        n_merged = tio.merge_expectations(spark, expectations_path, res.write_back)
+
     # 3. commit point: lineage written last
     lineage_rows = res.metrics.groupBy("part").agg(
         F.sum("violation_count").alias("violation_count"),
@@ -599,4 +624,7 @@ def run_with_lineage(
     # blocks would otherwise accumulate one generation per batch
     res.release()
     todo.unpersist()
-    return {"parts_processed": len(todo_parts), "parts_skipped": n_skipped}
+    out = {"parts_processed": len(todo_parts), "parts_skipped": n_skipped}
+    if expectations_path is not None:
+        out["expectations_merged"] = n_merged
+    return out
