@@ -219,6 +219,11 @@ def _ext(ref: Column) -> Column:
 
 
 def ref_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, part, ref) per non-null media ref. Reads the cached `refs`
+    derived column when annotate() provided it — the ref checks then never
+    decompress the spans payload (fingerprint.DERIVED_COLUMNS rationale)."""
+    if "refs" in docs.columns:
+        return docs.select("doc_id", "part", F.explode("refs").alias("ref"))
     refs = F.filter(
         F.col("spans"), lambda s: (s["kind"] == "media") & s["media_ref"].isNotNull()
     )

@@ -23,7 +23,13 @@ CHECK_NAME = "dangling_media_ref"
 
 
 def media_refs(docs: DataFrame) -> DataFrame:
-    """One row per media span with a non-null ref: (doc_id, part, media_ref)."""
+    """One row per media span with a non-null ref: (doc_id, part, media_ref).
+    Reads the cached `refs` derived column when annotate() provided it, so
+    the anti-join never decompresses the spans payload."""
+    if "refs" in docs.columns:
+        return docs.select(
+            "doc_id", "part", F.explode("refs").alias("media_ref")
+        )
     refs = F.filter(
         F.col("spans"), lambda s: (s["kind"] == "media") & s["media_ref"].isNotNull()
     )

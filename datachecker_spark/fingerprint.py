@@ -127,6 +127,14 @@ DERIVED_COLUMNS = (
     "n_text_spans",
     "n_null_text",
     "n_null_ref",
+    # media_ref list (tiny, fixed-ish width): the three ref-level checks +
+    # the referential anti-join explode THIS column instead of re-reading
+    # and decompressing the full spans struct array from the cache — after
+    # this, the spans payload is decompressed by exactly ONE branch per
+    # pass (the span-level checks); the corpus text otherwise re-enters the
+    # memory bus once per ref consumer, which the bandwidth accounting in
+    # BASELINE.md shows is the binding constraint on a shared socket
+    "refs",
 )
 
 
@@ -183,6 +191,10 @@ def annotate(docs):
         ),
         "n_null_ref": F.size(
             F.filter(media_spans, lambda s: s["media_ref"].isNull())
+        ),
+        "refs": F.transform(
+            F.filter(media_spans, lambda s: s["media_ref"].isNotNull()),
+            lambda s: s["media_ref"],
         ),
     }
     return staged.select(

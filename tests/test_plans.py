@@ -65,3 +65,33 @@ def test_suite_plan_no_row_python(spark):
     plan = _plan(check_duplicates(docs))
     assert "BatchEvalPython" not in plan
     assert _plan(res.metrics).count("BatchEvalPython") == 0
+
+
+def test_ref_checks_prune_spans_from_cache(spark):
+    """The ref-level checks and the referential anti-join must read the
+    cached `refs` derived column, never re-decompress the spans payload —
+    the InMemoryTableScan's column list is the contract (bandwidth demand:
+    one spans read per suite pass, by the span-level checks only)."""
+    from datachecker_spark.constraints import fused, referential
+    from datachecker_spark.datagen import generate_documents
+    from datachecker_spark.fingerprint import annotate
+
+    docs = annotate(generate_documents(spark, 300, seed=3)).persist()
+    docs.count()
+    try:
+        cat = spark.createDataFrame([("m1",)], ["media_ref"])
+        for df in (
+            fused.fused_ref_checks(docs),
+            referential.check_media_refs(docs, cat, broadcast_catalog=True),
+        ):
+            scans = [
+                line
+                for line in _plan(df).splitlines()
+                if "InMemoryTableScan" in line
+            ]
+            assert scans, "expected a cache scan in the plan"
+            for s in scans:
+                assert "spans" not in s, s
+                assert "refs" in s
+    finally:
+        docs.unpersist()
