@@ -7,57 +7,39 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Also runs the validation-engine flagship (full duplicate check over a
 span-ified + planted corpus derived from the sf documents table) as query
 "flagship_dedup". Use tools/bench_scaling.py for the N-vs-4N-cores scaling run.
+
+Isolation re-timing (VERDICT r3 #7): a query's in-suite number can inherit
+memory pressure / GC debt from the 40 queries before it (measured: the r3
+embedding_near_dups read 20.6s in-suite vs 5.2s alone). Queries slower than
+ISOLATE_THRESHOLD_SEC in-suite are re-timed in a FRESH subprocess (own JVM,
+cold block manager) and both numbers land in the JSON under "isolated" —
+self-contained evidence instead of BASELINE.md prose.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+ISOLATE_THRESHOLD_SEC = 5.0
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
+def _build_runners(spark, sf_dir):
+    """name -> zero-arg callable running that query to a noop sink."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
-    from datachecker_spark.session import get_spark
-
-    spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8), app_name="bench")
-
-    timings: dict[str, float] = {}
-    variance: dict[str, list[float]] = {}
-
-    def timed(name: str, fn) -> None:
-        # best-of-2: one sample can inherit a GC pause or co-tenant stall
-        # (round-1 bench showed a trivially-cheap query at 22.6s once);
-        # queries whose samples differ >3x are flagged in the output
-        from datachecker_spark.cache import release_all
-
-        samples = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            samples.append(time.perf_counter() - t0)
-            # checkpoint blocks are never GC-reclaimed from Python
-            # (cache.py) — drop whatever this query materialized so later
-            # queries aren't squeezed by dead generations of blocks
-            release_all(spark)
-        timings[name] = round(min(samples), 3)
-        if max(samples) > 3 * min(samples) and max(samples) > 1.0:
-            variance[name] = [round(s, 3) for s in samples]
-
-    # warm the JVM/codegen once so per-query numbers reflect execution
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     qs = E.queries()
-    for name in sorted(qs):
-        timed(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
+    runners = {
+        name: (lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
+        for name in qs
+    }
 
     # flagship: full duplicate-detection suite over span-structured docs
     def flagship():
@@ -74,7 +56,70 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timed("flagship_dedup", flagship)
+    runners["flagship_dedup"] = flagship
+    return runners
+
+
+def _timed(spark, fn) -> tuple[float, list[float]]:
+    """best-of-2 seconds + raw samples: one sample can inherit a GC pause or
+    co-tenant stall (round-1 bench showed a trivially-cheap query at 22.6s
+    once). release_all between samples: checkpoint blocks are never
+    GC-reclaimed from Python (cache.py) — drop whatever this query
+    materialized so later queries aren't squeezed by dead generations."""
+    from datachecker_spark.cache import release_all
+
+    samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+        release_all(spark)
+    return round(min(samples), 3), [round(s, 3) for s in samples]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
+
+    from datachecker_spark.session import get_spark
+
+    spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8), app_name="bench")
+
+    # warm the JVM/codegen once so per-query numbers reflect execution
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    runners = _build_runners(spark, sf_dir)
+
+    if only is not None:
+        # isolation worker: one query in a fresh JVM, same protocol
+        t, samples = _timed(spark, runners[only])
+        print(json.dumps({"query": only, "sec": t, "samples": samples}))
+        return
+
+    timings: dict[str, float] = {}
+    variance: dict[str, list[float]] = {}
+    for name in sorted(runners):
+        t, samples = _timed(spark, runners[name])
+        timings[name] = t
+        if max(samples) > 3 * min(samples) and max(samples) > 1.0:
+            variance[name] = samples
+
+    # re-time the slow tail in fresh subprocesses (own JVM, cold blocks)
+    isolated: dict[str, float] = {}
+    for name, t in sorted(timings.items()):
+        if t <= ISOLATE_THRESHOLD_SEC:
+            continue
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                     SPARK_GRAFT_CPUS=str(cores)),
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            isolated[name] = json.loads(lines[-1])["sec"]
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
@@ -88,6 +133,7 @@ def main() -> None:
                 "sf": sf,
                 "cores": cores,
                 "high_variance": variance,
+                "isolated": isolated,
             }
         )
     )
