@@ -176,9 +176,11 @@ def chi_square_drift(
     )
     # the corpus reduction happens exactly once: obs is read by parts /
     # values / the dense join, and Catalyst does NOT collapse those copies
-    # (see module docstring) — localCheckpoint (not persist) so the blocks
-    # are reclaimed by the ContextCleaner when the result goes out of
-    # scope. The runner runs this on a background thread.
+    # (see module docstring). Release is DETERMINISTIC, not GC-based (the
+    # ContextCleaner path is dead from Python — cache.py): the runner's
+    # _mat_track hook records this block and run_suite releases it as soon
+    # as the final drift block is materialized. The runner runs this whole
+    # build on a background thread.
     obs = (materialize or (lambda d: d.localCheckpoint(eager=True)))(obs)
     parts = obs.groupBy("part").agg(F.sum("a").alias("n_part"))
     values = obs.select("v").distinct()
