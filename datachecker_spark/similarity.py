@@ -355,23 +355,47 @@ def cosine_near_dup_pairs(
     planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    materialize=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cos ≥ threshold).
     LSH-banded candidates, vectorized exact-cosine verification — the
     embedding leg of the dedup family (minhash/simhash cover the lexical
-    legs)."""
+    legs).
+
+    The band self-join and the pair dedup carry IDS ONLY (two longs per
+    row); vectors re-join once per DISTINCT candidate pair for the exact
+    verify — the same shape minhash_near_dup_pairs uses. The previous
+    form shuffled both dim-sized vector payloads (~1 KB/row at dim=64
+    float64) through the band join AND the dropDuplicates exchange, ×bands
+    per side; with planes/bands bits per band the bucket fan-out makes
+    candidate volume the dominant term, so candidate row width is the
+    bandwidth knob.
+
+    materialize: df->df hook for the (id, vec) projection, which is read
+    three times (banding + both verify join-backs) — the cluster-deploy
+    seam drift/minhash/ngram accept (runner.materializer). Default: lazy
+    localCheckpoint; caller releases via cache.release/release_all. The
+    banded ids table is NOT materialized: re-deriving it is one cheap GEMM
+    pass over the materialized base."""
     hp = _hyperplanes(dim, planes, seed)
     sig = signature_udf(hp)
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    banded = _banded(base, sig(F.col("vec")), bands, planes)
-    a = banded.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band_idx", "band_val")
-    b = banded.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band_idx", "band_val")
+    base = (materialize or (lambda d: d.localCheckpoint(eager=False)))(base)
+    banded = _banded(base, sig(F.col("vec")), bands, planes).select(
+        "id", "band_idx", "band_val"
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_val")
+    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_val")
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .dropDuplicates()
     )
-    out = cand.select(
+    pairs = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+    out = pairs.select(
         "id_a", "id_b", pair_cosine_udf()(F.col("vec_a"), F.col("vec_b")).alias("cos")
     )
     return out.where(F.col("cos") >= threshold)
