@@ -559,5 +559,49 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
 
 
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 100 < 10
+      UNION ALL
+      SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 10 = 0
+    ),
+    edges AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b AND w.label < e.a
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT node AS doc_id, cluster_id AS cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labels
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of a near-dup pair list -> cluster assignment
+    (graph.dedup_clusters): the final stage of the dedup pipeline, after
+    which keep-policy is `doc_id == cluster_id`. Edges are planted
+    deterministically on both sides: near-dup CHAINS (doc_id ~ doc_id+1 for
+    doc_id%100<10 — ten-hop paths that only a transitive algorithm closes;
+    pairwise dedup would keep ~half of each chain) plus exact-copy links
+    (doc_id ~ doc_id+1000000 for doc_id%10=0 — the dup_exact planting), so
+    copies of chained docs land in the chain's cluster. The oracle is a
+    recursive min-label CTE; Spark runs alternating large-star/small-star
+    (O(log^2 n) rounds of groupBy-min — diameter-independent, unlike the
+    CTE, which is why the CTE is the oracle and not the engine)."""
+    from datachecker_spark.graph import dedup_clusters
+
+    ids = _read(spark, sf_dir, "documents").select("doc_id")
+    chain = ids.where(F.col("doc_id") % 100 < 10).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    copies = ids.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    return dedup_clusters(chain.unionByName(copies))
+
+
 # constraint-suite operators, part 2 (registers into QUERIES/ORACLES on import)
 from datachecker_spark import entry_queries_suite as _suite  # noqa: E402,F401

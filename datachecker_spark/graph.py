@@ -1,0 +1,189 @@
+"""Distributed connected components and duplicate-cluster assignment.
+
+Near-duplicate detection (minhash/simhash/ngram/embedding families in
+textops.py / similarity.py) emits PAIRS; a 100 TB dedup pipeline needs the
+transitive closure of those pairs — "A~B and B~C puts A,B,C in one cluster,
+keep one representative" — before it can drop rows. The reference engine
+reaches the same end state per hash-group (src/modules/duplicate.zig keeps
+the first member of each byte-identical group); this module generalizes that
+to similarity graphs whose clusters are NOT cliques.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii, "Connected Components in MapReduce and Beyond",
+SoCC 2014 — public paper). Each half-round is one groupBy-min plus one join,
+all relational/codegen; converges in O(log^2 n) rounds (2 in practice for
+dedup graphs, whose components are near-cliques or short chains). Chosen
+over plain min-label propagation (rounds = graph diameter — unbounded on
+pathological chains) and over GraphFrames/GraphX (RDD-based, not available
+here, and overkill for a pure min-aggregation fixpoint).
+
+Scale notes (10^12-doc table, O(dup rate x docs) edges):
+* Both stars are groupBy-min shuffles on the edge list. The hot key of a
+  giant component (its min node accumulates degree = component size) is
+  absorbed by partial aggregation (map-side combine) in the min agg; the
+  join back of per-node minima is key-partitioned, never broadcast, never
+  collected.
+* Edge lists shrink monotonically toward the star form, so later rounds are
+  cheaper than earlier ones.
+* Each round is materialized through the caller's `materialize` seam (the
+  same hook runner.SuiteConfig.checkpoint_mode threads into textops/drift),
+  cutting the iterative lineage — without it the plan doubles per round.
+* Fixpoint detection is one count+hash-sum aggregate per round (a driver
+  scalar, not a collect of data).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datachecker_spark import cache
+
+Materializer = Callable[[DataFrame], DataFrame]
+
+
+def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonical undirected edge form: (u=min, v=max), no loops, distinct."""
+    return (
+        df.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple:
+    """Cheap fixpoint signature: (count, two independent hash sums).
+
+    Equality of successive signatures declares convergence. Hash values
+    are reduced mod 2^20 before summing so the sum stays within a long
+    under ANSI arithmetic up to ~2^43 edges; a false match needs identical
+    counts plus a simultaneous collision of both seeded sums (~2^-40 per
+    round — and a false stop is caught loudly downstream, since a non-star
+    edge set yields multiple labels per node in the final min-agg). The
+    alternative (exceptAll on the full edge set per round) costs a second
+    shuffle per round for no practical gain.
+    """
+    m = 1 << 20
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(m))).alias("h1"),
+        F.sum(F.pmod(F.xxhash64("v", "u"), F.lit(m))).alias("h2"),
+    ).collect()[0]
+    return (row["n"], row["h1"], row["h2"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    materialize: Materializer | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected edge list -> (node, cluster_id).
+
+    cluster_id is the component's minimum node id (deterministic canonical
+    representative — the same "keep the first/smallest" convention the
+    reference's duplicate module applies within a hash group,
+    /root/reference/src/modules/duplicate.zig).
+
+    Only nodes incident to at least one non-loop edge appear in the output;
+    singletons are their own trivial cluster and callers that need them
+    re-attach with a left join (see dedup_clusters).
+
+    Per round (Kiveris et al. 2014):
+    * large-star: over the symmetric neighborhood of each node u with
+      m(u) = min(N(u) + {u}), emit (v, m(u)) for every neighbor v > u.
+      Strictly-larger neighbors re-point at the local minimum.
+    * small-star: orient edges toward the larger endpoint; per node u with
+      smaller neighbors N(u), m(u) = min(N(u)), emit (v, m(u)) for every
+      v in N(u) + {u}. The node and all smaller neighbors collapse onto
+      the smallest.
+
+    Fixpoint = the edge set is exactly {(min(C), x) : x in C \\ min(C)} per
+    component C, read out directly as the assignment.
+    """
+    mat = materialize or (lambda d: d.localCheckpoint(eager=False))
+
+    e = _canon(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ),
+        "u",
+        "v",
+    )
+    e = mat(e)
+    sig = _signature(e)
+
+    for _ in range(max_iterations):
+        prev, prev_sig = e, sig
+
+        # large-star over the symmetric view
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+        mins = mins.select("u", F.least("u", "nbr_min").alias("m"))
+        large = _canon(
+            sym.join(mins, "u").where(F.col("v") > F.col("u")).select("v", "m"),
+            "v",
+            "m",
+        )
+
+        # small-star: group by the larger endpoint (canonical v), neighbors
+        # are the smaller endpoints (canonical u)
+        smins = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = _canon(
+            large.join(smins, "v")
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select(F.col("v").alias("a"), F.col("m").alias("b"))),
+            "a",
+            "b",
+        )
+
+        e = mat(small)
+        sig = _signature(e)  # action: materializes this round's checkpoint
+        cache.release(prev)  # prior round's blocks no longer back anything
+        if sig == prev_sig:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # star edges: u = component min (root), v = member
+    comp = (
+        e.select(F.col("v").alias("node"), F.col("u").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("u").alias("node"), F.col("u").alias("cluster_id"))
+        )
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    # the final round's checkpoint blocks back `comp`'s plan as LogicalRDD
+    # leaves — disposal is cache.release(result), the same contract as
+    # minhash_near_dup_pairs (textops.py)
+    return comp
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    materialize: Materializer | None = None,
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, cluster_id, cluster_size).
+
+    The last stage of the dedup pipeline: transitive closure of the pair
+    list plus per-cluster size (size > 1 by construction — every node here
+    has an edge). Keep-policy downstream is `doc_id == cluster_id` (retain
+    the canonical minimum, drop the rest), matching the reference's
+    keep-first-of-group semantics on hash groups.
+    """
+    comp = connected_components(pairs, src, dst, materialize)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )

@@ -1,0 +1,124 @@
+"""Connected components / dedup clustering (graph.py).
+
+Ground truth for every structural case is an in-driver union-find over the
+same edge list — an independent O(n α(n)) oracle with none of the
+large-star/small-star machinery.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from datachecker_spark import cache
+from datachecker_spark.graph import connected_components, dedup_clusters
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = component min; path-compress to roots first
+    return {x: find(x) for x in parent}
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = connected_components(df)
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    cache.release(out)
+    return got
+
+
+def test_cc_chain(spark):
+    # path graph 0-1-2-...-9: one component labelled 0; needs >1 round
+    edges = [(i, i + 1) for i in range(9)]
+    assert _cc(spark, edges) == {i: 0 for i in range(10)}
+
+
+def test_cc_cliques_and_star(spark):
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0..4
+        + [(100, x) for x in (101, 102, 103)]  # star rooted above its leaves
+        + [(201, 200)]  # reversed single edge
+    )
+    got = _cc(spark, edges)
+    assert got == {
+        **{i: 0 for i in range(5)},
+        **{x: 100 for x in (100, 101, 102, 103)},
+        200: 200,
+        201: 200,
+    }
+
+
+def test_cc_merging_bridge(spark):
+    # two cliques joined by one bridge edge collapse to one component
+    left = [(a, b) for a in range(3) for b in range(a + 1, 3)]
+    right = [(a, b) for a in range(10, 13) for b in range(a + 1, 13)]
+    got = _cc(spark, left + right + [(2, 12)])
+    assert set(got.values()) == {0}
+    assert set(got) == {0, 1, 2, 10, 11, 12}
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    got = _cc(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}  # the pure self-loop node disappears
+
+
+def test_cc_random_vs_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(400))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # 64-node path: min-label propagation would need 63 rounds; the
+    # star algorithm's O(log^2 n) bound must land well under max_iterations
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = connected_components(df, max_iterations=12)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+    cache.release(out)
+
+
+def test_dedup_clusters_sizes(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = dedup_clusters(df)
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out.collect()}
+    assert rows == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+    }
+    # keep-policy: exactly one canonical doc per cluster
+    keep = [d for d, (c, _) in rows.items() if d == c]
+    assert sorted(keep) == [1, 10]
+    cache.release(out)
+
+
+def test_cc_releases_intermediate_blocks(spark):
+    """Iteration must not leak checkpoint blocks: after release(result) the
+    persistent-RDD count returns to the pre-call baseline."""
+    cache.release_all(spark)
+    sc = spark.sparkContext
+    baseline = sc._jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(30)]
+    out = connected_components(spark.createDataFrame(edges, ["id_a", "id_b"]))
+    out.collect()
+    cache.release(out)
+    assert sc._jsc.getPersistentRDDs().size() <= baseline
