@@ -110,16 +110,21 @@ def main() -> None:
     for name, t in sorted(timings.items()):
         if t <= ISOLATE_THRESHOLD_SEC:
             continue
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--only", name],
-            capture_output=True, text=True, timeout=900,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-                     SPARK_GRAFT_CPUS=str(cores)),
-        )
+        # a hung/failed child must not discard the already-collected suite
+        # timings — mark it and move on (None = attempted, no number)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", name],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                         SPARK_GRAFT_CPUS=str(cores)),
+            )
+        except subprocess.TimeoutExpired:
+            isolated[name] = None
+            continue
         lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if lines:
-            isolated[name] = json.loads(lines[-1])["sec"]
+        isolated[name] = json.loads(lines[-1])["sec"] if lines else None
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)

@@ -122,12 +122,11 @@ def fused_doc_checks(
             # sample ONCE at plan build, as a literal — current_timestamp()
             # is re-evaluated per batch, so two batches of the same fused
             # plan could disagree on the future/stale cutoff (run_suite
-            # always samples first; this guards direct callers)
-            import datetime as _dt
+            # always samples first; this guards direct callers). TZ
+            # contract: session.sample_now_literal docstring.
+            from datachecker_spark.session import sample_now_literal
 
-            now = _dt.datetime.now(_dt.timezone.utc).strftime(
-                "%Y-%m-%d %H:%M:%S"
-            )
+            now = sample_now_literal()
         now_c = F.lit(now).cast("timestamp")
         cutoff = now_c - F.expr(f"INTERVAL {int(max_age_days)} DAYS")
         newest = F.greatest(*[F.col(c).cast("timestamp") for c in ts_present])

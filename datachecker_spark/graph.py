@@ -106,12 +106,12 @@ def connected_components(
     """
     mat = materialize or (lambda d: d.localCheckpoint(eager=False))
 
+    # ids keep their input type: the algorithm needs only equality and a
+    # total order, both of which Spark's least/greatest/min give every
+    # orderable type — casting to long would crash (ANSI) or NULL-out
+    # (non-ANSI) the engine's own string doc_ids
     e = _canon(
-        edges.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        ),
-        "u",
-        "v",
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u", "v"
     )
     e = mat(e)
     sig = _signature(e)

@@ -27,10 +27,52 @@ def write_table(df: DataFrame, path: str, mode: str = "append", partition_by: li
     w.parquet(path)
 
 
+def is_table_identifier(spark: SparkSession, path: str) -> bool:
+    """True when `path` names an existing catalog table (Iceberg deploy
+    path) rather than a filesystem directory. Slash-less strings that the
+    catalog does not know stay filesystem paths — a not-yet-created
+    relative parquet dir must bootstrap via the parquet branch, not
+    MERGE INTO a nonexistent table."""
+    if "/" in path or not iceberg_available(spark):
+        return False
+    try:
+        return spark.catalog.tableExists(path)
+    except Exception:
+        return False
+
+
+def _recover_swap(path: str) -> None:
+    """Roll the parquet-emulation directory swap forward after a crash.
+
+    merge_expectations swaps via `path -> path.old` then `path.staging ->
+    path`; a crash between the two renames leaves no live directory. The
+    staging dir was fully written before the first rename began, so
+    recovery completes the swap (roll FORWARD to the merged snapshot);
+    with no staging dir, the backup rolls back. No-op in every healthy
+    state (live dir present, or nothing present)."""
+    if os.path.exists(path):
+        return
+    import shutil
+
+    staging, backup = f"{path}.staging", f"{path}.old"
+    if os.path.exists(staging):
+        os.replace(staging, path)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    elif os.path.exists(backup):
+        os.replace(backup, path)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    if is_table_identifier(spark, path):
+        return spark.read.table(path)
+    _recover_swap(path)
     if not os.path.exists(path):
         return None
     try:
+        # the swap (or a recovery) replaces part files under the same path;
+        # drop any cached listing so this read sees the current snapshot
+        spark.catalog.refreshByPath(path)
         return spark.read.parquet(path)
     except Exception:
         return None
@@ -50,18 +92,21 @@ def merge_expectations(
     Iceberg runtime present and `path` is a catalog table identifier →
     MERGE INTO (one atomic snapshot commit; the real 10^12-doc deployment
     path). Otherwise: parquet emulation via read-union-overwrite with a
-    staged directory swap — merged rows land in '<path>.staging', which is
-    then renamed over the live directory (os.replace is atomic per entry on
-    POSIX; the brief window where a concurrent reader can see the old
-    snapshot but never a partial one is the documented emulation gap vs an
-    Iceberg commit). Upsert by key_cols, so a crash-replay re-merge is
-    idempotent. Returns the number of rows merged in.
+    staged directory swap — merged rows land in '<path>.staging', then
+    `path -> path.old` / `path.staging -> path` (each rename atomic on
+    POSIX). A reader never sees a partial snapshot, but between the two
+    renames the live path briefly does not exist and a crash there strands
+    the table — read_table/_recover_swap roll the swap forward from the
+    fully-written staging dir on the next touch, so the window costs a
+    retry, never the table. That window (plus non-serializable concurrent
+    merges) is the documented emulation gap vs an Iceberg commit. Upsert by
+    key_cols, so a crash-replay re-merge is idempotent. Returns the number
+    of rows merged in.
     """
     n = write_back.count()
     if n == 0:
         return 0
-    looks_like_table = "/" not in path and not os.path.exists(path)
-    if iceberg_available(spark) and looks_like_table:
+    if is_table_identifier(spark, path):
         write_back.createOrReplaceTempView("_write_back_src")
         on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
         spark.sql(
@@ -70,6 +115,13 @@ def merge_expectations(
             "WHEN NOT MATCHED THEN INSERT *"
         )
         return n
+    if "/" not in path and "." in path and iceberg_available(spark):
+        # catalog-shaped identifier (db.table) with no existing table:
+        # bootstrap it as an Iceberg table instead of a local dir literally
+        # named 'db.table'
+        write_back.writeTo(path).create()
+        return n
+    _recover_swap(path)
     existing = read_table(spark, path)
     if existing is None:
         write_table(write_back, path, mode="overwrite")

@@ -278,9 +278,9 @@ def run_suite(
     # current_timestamp() column would re-evaluate per task/batch
     now = cfg.timestamp_now
     if cfg.timestamps and has_ts and now is None:
-        import datetime as _dt
+        from datachecker_spark.session import sample_now_literal
 
-        now = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        now = sample_now_literal()
     if cfg.fused_rows:
         # eleven row-level checks as THREE scans (constraints/fused.py)
         parts.extend(

@@ -92,3 +92,22 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def sample_now_literal() -> str:
+    """One wall-clock sample of 'now' as a 'YYYY-mm-dd HH:MM:SS' UTC string
+    — the suite's single source for the future/stale timestamp cutoff
+    (reference: sampled once at process startup, src/main.zig:399-403).
+
+    The string is parsed back by F.lit(...).cast('timestamp') in the
+    SESSION timezone; get_spark pins that to UTC, so inside the engine the
+    literal is the true present instant. On a foreign non-UTC session the
+    literal shifts by the session offset — and so do the TIMESTAMP_NTZ
+    document columns it is compared against (both parse in session TZ), so
+    future/stale comparisons still hold for the engine's NTZ-as-UTC inputs.
+    Callers with true-instant TIMESTAMP columns on a non-UTC session must
+    pass an explicit now/timestamp_now instead.
+    """
+    import datetime as dt
+
+    return dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")

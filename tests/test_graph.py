@@ -96,6 +96,19 @@ def test_cc_long_chain_converges_in_log_rounds(spark):
     cache.release(out)
 
 
+def test_cc_string_ids(spark):
+    # the advertised input: pair lists keyed by the engine's STRING doc_ids
+    edges = [("doc_b", "doc_c"), ("doc_a", "doc_b"), ("doc_x", "doc_y")]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = connected_components(df)
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+    cache.release(out)
+
+
 def test_dedup_clusters_sizes(spark):
     edges = [(1, 2), (2, 3), (10, 11)]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])

@@ -179,6 +179,46 @@ def test_writeback_merge_roundtrip(spark, tmp_path):
     assert r2["expectations_merged"] == 0 and r2["parts_processed"] == 0
 
 
+def test_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two renames of the staged directory swap leaves
+    no live expectation table; the next read must roll the swap FORWARD
+    from the fully-written staging dir (io._recover_swap), not report the
+    table missing (which would silently skip integrity checking)."""
+    import os
+    import shutil
+
+    from datachecker_spark import io as tio
+
+    path = str(tmp_path / "expectations")
+    spark.createDataFrame(
+        [("d1", "xxh64", "a"), ("d2", "xxh64", "b")],
+        ["doc_id", "algo", "expected_hash"],
+    ).write.parquet(path)
+
+    # simulate the mid-swap crash state: staging fully written (with the
+    # merged row), live dir already renamed to backup. Materialize the
+    # merged rows first — a lazy plan over `path` dies with its source.
+    merged_rows = spark.read.parquet(path).unionByName(
+        spark.createDataFrame([("d3", "xxh64", "c")], ["doc_id", "algo", "expected_hash"])
+    ).collect()
+    merged = spark.createDataFrame(merged_rows, ["doc_id", "algo", "expected_hash"])
+    merged.write.parquet(f"{path}.staging")
+    os.replace(path, f"{path}.old")
+    assert not os.path.exists(path)
+
+    got = tio.read_table(spark, path)
+    assert got is not None and got.count() == 3  # rolled forward, merged row present
+    assert not os.path.exists(f"{path}.staging")
+    assert not os.path.exists(f"{path}.old")
+
+    # crash BEFORE staging finished (no staging dir): roll back to backup
+    shutil.rmtree(path)
+    merged.write.parquet(f"{path}.old")
+    got = tio.read_table(spark, path)
+    assert got is not None and got.count() == 3
+    assert not os.path.exists(f"{path}.old")
+
+
 def test_psi_drift_in_suite(spark):
     """VERDICT r3 #4: psi_drift is reachable from run_suite. A planted
     partition whose documents are 4x longer (a +2-octave size shift) must
