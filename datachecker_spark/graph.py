@@ -187,3 +187,30 @@ def dedup_clusters(
         comp.join(sizes, "cluster_id")
         .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
     )
+
+
+def keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the keep-policy: drop every clustered doc except its cluster's
+    canonical (minimum-id) representative.
+
+    `clusters` is dedup_clusters' output (doc_id, cluster_id, ...). Docs
+    absent from `clusters` are singletons and always kept. The join is a
+    left join on the doc id — clusters is O(duplicate docs), typically a
+    small fraction of the corpus; Spark/AQE broadcasts it when it fits and
+    falls back to a shuffled join when it does not, so no side is ever
+    collected. End-to-end: pairs = minhash_near_dup_pairs(docs) ->
+    dedup_clusters(pairs) -> keep_canonical(docs, clusters).
+    """
+    marks = clusters.select(
+        F.col("doc_id").alias(id_col),
+        (F.col("doc_id") == F.col("cluster_id")).alias("_is_canonical"),
+    )
+    return (
+        docs.join(marks, id_col, "left")
+        .where(F.coalesce(F.col("_is_canonical"), F.lit(True)))
+        .drop("_is_canonical")
+    )

@@ -12,7 +12,11 @@ import random
 from pyspark.sql import functions as F
 
 from datachecker_spark import cache
-from datachecker_spark.graph import connected_components, dedup_clusters
+from datachecker_spark.graph import (
+    connected_components,
+    dedup_clusters,
+    keep_canonical,
+)
 
 
 def _union_find(edges):
@@ -122,6 +126,20 @@ def test_dedup_clusters_sizes(spark):
     keep = [d for d, (c, _) in rows.items() if d == c]
     assert sorted(keep) == [1, 10]
     cache.release(out)
+
+
+def test_keep_canonical_end_to_end(spark):
+    """Full dedup pipeline composition: near-dup pairs -> transitive
+    clusters -> keep one canonical doc per cluster, singletons untouched."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    clusters = dedup_clusters(pairs)
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, clusters).collect())
+    # 2,3 fold into 1; 6 folds into 5; 0,4,7 are singletons
+    assert kept == [0, 1, 4, 5, 7]
+    cache.release(clusters)
 
 
 def test_cc_releases_intermediate_blocks(spark):
