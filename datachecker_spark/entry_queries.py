@@ -603,5 +603,51 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(chain.unionByName(copies))
 
 
+@query(
+    "keep_canonical",
+    oracle="""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 100 < 10
+      UNION ALL
+      SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 10 = 0
+    ),
+    edges AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+    walk(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b AND w.label < e.a
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+    FROM documents d
+    LEFT JOIN labels l ON l.node = d.doc_id
+    WHERE l.node IS NULL OR l.node = l.cluster_id
+    """,
+)
+def keep_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last stage (graph.keep_canonical): given the
+    SAME planted pair list as dedup_clusters (near-dup chains + exact-copy
+    links), drop every clustered doc except its cluster's minimum-id
+    canonical; docs with no edge are singletons and always kept. The
+    synthetic copy nodes (doc_id+1000000) appear in the cluster map but not
+    in the corpus, exercising the left-join keep path. Oracle: the same
+    recursive min-label CTE, anti-filtered against the corpus. End-to-end
+    this is pairs -> dedup_clusters -> keep_canonical, i.e. the reference's
+    keep-first-of-group semantics (src/modules/duplicates.zig) lifted to
+    transitive near-dup clusters."""
+    from datachecker_spark.graph import dedup_clusters, keep_canonical
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ids = docs.select("doc_id")
+    chain = ids.where(F.col("doc_id") % 100 < 10).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    copies = ids.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    clusters = dedup_clusters(chain.unionByName(copies))
+    return keep_canonical(docs, clusters)
+
+
 # constraint-suite operators, part 2 (registers into QUERIES/ORACLES on import)
 from datachecker_spark import entry_queries_suite as _suite  # noqa: E402,F401
