@@ -106,7 +106,7 @@ def main() -> None:
             variance[name] = samples
 
     # re-time the slow tail in fresh subprocesses (own JVM, cold blocks)
-    isolated: dict[str, float] = {}
+    isolated: dict[str, float | None] = {}
     for name, t in sorted(timings.items()):
         if t <= ISOLATE_THRESHOLD_SEC:
             continue
@@ -124,7 +124,12 @@ def main() -> None:
             isolated[name] = None
             continue
         lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        isolated[name] = json.loads(lines[-1])["sec"] if lines else None
+        # a failed child can emit '{'-prefixed log noise — treat unparsable
+        # output the same as no output (None = attempted, no number)
+        try:
+            isolated[name] = json.loads(lines[-1])["sec"] if lines else None
+        except (json.JSONDecodeError, KeyError, TypeError):
+            isolated[name] = None
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)

@@ -633,7 +633,7 @@ def keep_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the corpus, exercising the left-join keep path. Oracle: the same
     recursive min-label CTE, anti-filtered against the corpus. End-to-end
     this is pairs -> dedup_clusters -> keep_canonical, i.e. the reference's
-    keep-first-of-group semantics (src/modules/duplicates.zig) lifted to
+    keep-first-of-group semantics (src/modules/duplicate_files/core.zig) lifted to
     transitive near-dup clusters."""
     from datachecker_spark.graph import dedup_clusters, keep_canonical
 

@@ -4,7 +4,7 @@ Near-duplicate detection (minhash/simhash/ngram/embedding families in
 textops.py / similarity.py) emits PAIRS; a 100 TB dedup pipeline needs the
 transitive closure of those pairs — "A~B and B~C puts A,B,C in one cluster,
 keep one representative" — before it can drop rows. The reference engine
-reaches the same end state per hash-group (src/modules/duplicate.zig keeps
+reaches the same end state per hash-group (src/modules/duplicate_files/core.zig:17-94 keeps
 the first member of each byte-identical group); this module generalizes that
 to similarity graphs whose clusters are NOT cliques.
 
@@ -60,8 +60,10 @@ def _signature(edges: DataFrame) -> tuple:
     are reduced mod 2^20 before summing so the sum stays within a long
     under ANSI arithmetic up to ~2^43 edges; a false match needs identical
     counts plus a simultaneous collision of both seeded sums (~2^-40 per
-    round — and a false stop is caught loudly downstream, since a non-star
-    edge set yields multiple labels per node in the final min-agg). The
+    round — and connected_components backstops it with an explicit post-loop
+    star-forest assertion that raises rather than returning split clusters,
+    because the final min-agg would otherwise resolve a non-star edge set
+    silently). The
     alternative (exceptAll on the full edge set per round) costs a second
     shuffle per round for no practical gain.
     """
@@ -86,7 +88,7 @@ def connected_components(
     cluster_id is the component's minimum node id (deterministic canonical
     representative — the same "keep the first/smallest" convention the
     reference's duplicate module applies within a hash group,
-    /root/reference/src/modules/duplicate.zig).
+    /root/reference/src/modules/duplicate_files/core.zig).
 
     Only nodes incident to at least one non-loop edge appear in the output;
     singletons are their own trivial cluster and callers that need them
@@ -150,6 +152,24 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # post-loop star-forest assertion (backstop for a ~2^-40/round false
+    # signature match): a converged edge set is exactly {(root, member)}
+    # with roots = component minima, so (a) no node appears as a member
+    # twice and (b) no root is also a member. Either violation means the
+    # loop stopped early on a hash collision — fail loudly instead of
+    # letting the min-agg below quietly emit split clusters. Two small
+    # aggregations over the final O(dup) edge list, once per call.
+    dup_members = (
+        e.groupBy("v").agg(F.count("*").alias("c")).where(F.col("c") > 1).limit(1).count()
+    )
+    chained = e.select("u").intersect(e.select("v")).limit(1).count()
+    if dup_members or chained:
+        raise RuntimeError(
+            "connected_components: converged edge set is not a star forest "
+            "(false fixpoint from a signature collision) — rerun with a "
+            "different session or raise max_iterations"
         )
 
     # star edges: u = component min (root), v = member

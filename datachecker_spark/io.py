@@ -84,14 +84,24 @@ def merge_expectations(
     write_back: DataFrame,
     *,
     key_cols: tuple[str, ...] = ("doc_id", "algo"),
+    catalog: bool | None = None,
 ) -> int:
     """Upsert create-semantics fingerprint rows into the expectation table —
     the engine's analog of the reference writing the hash sidecar in place
     (/root/reference/src/modules/integrity.zig:172-180).
 
-    Iceberg runtime present and `path` is a catalog table identifier →
-    MERGE INTO (one atomic snapshot commit; the real 10^12-doc deployment
-    path). Otherwise: parquet emulation via read-union-overwrite with a
+    `catalog` disambiguates the target explicitly: True → `path` is an
+    Iceberg catalog identifier (MERGE INTO when the table exists,
+    writeTo().create() to bootstrap); False → always a filesystem path.
+    The default None auto-detects conservatively: MERGE INTO only when the
+    catalog already knows the table; a nonexistent target is NEVER
+    bootstrap-created through the catalog on a guess — a relative
+    filesystem path that happens to contain a dot ('expectations.parquet')
+    must stay a parquet dir. Callers bootstrapping a new catalog table pass
+    catalog=True.
+
+    Catalog path → MERGE INTO (one atomic snapshot commit; the real
+    10^12-doc deployment path). Otherwise: parquet emulation via read-union-overwrite with a
     staged directory swap — merged rows land in '<path>.staging', then
     `path -> path.old` / `path.staging -> path` (each rename atomic on
     POSIX). A reader never sees a partial snapshot, but between the two
@@ -106,7 +116,12 @@ def merge_expectations(
     n = write_back.count()
     if n == 0:
         return 0
-    if is_table_identifier(spark, path):
+    if catalog is True and not iceberg_available(spark):
+        raise ValueError(
+            f"catalog=True for {path!r} but no Iceberg runtime is on the classpath"
+        )
+    use_catalog = catalog if catalog is not None else is_table_identifier(spark, path)
+    if use_catalog and is_table_identifier(spark, path):
         write_back.createOrReplaceTempView("_write_back_src")
         on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
         spark.sql(
@@ -115,10 +130,9 @@ def merge_expectations(
             "WHEN NOT MATCHED THEN INSERT *"
         )
         return n
-    if "/" not in path and "." in path and iceberg_available(spark):
-        # catalog-shaped identifier (db.table) with no existing table:
-        # bootstrap it as an Iceberg table instead of a local dir literally
-        # named 'db.table'
+    if use_catalog:
+        # explicit catalog=True and the table does not exist yet:
+        # bootstrap it as an Iceberg table
         write_back.writeTo(path).create()
         return n
     _recover_swap(path)

@@ -307,3 +307,39 @@ def test_checkpoint_modes_cluster_seam(spark, tmp_path):
     for other in (rel, per):
         assert ref.exceptAll(other).count() == 0
         assert other.exceptAll(ref).count() == 0
+
+
+def test_merge_dotted_relative_path_stays_parquet(spark, tmp_path, monkeypatch):
+    """A relative filesystem path containing a dot ('expectations.parquet')
+    must NOT be bootstrap-created as a catalog table even on Iceberg-equipped
+    deployments (ADVICE r4): auto mode only routes to the catalog when the
+    table already exists there; creation needs an explicit catalog=True."""
+    from datachecker_spark import io as tio
+
+    monkeypatch.setattr(tio, "iceberg_available", lambda _s: True)
+    calls: list[tuple] = []
+    monkeypatch.setattr(tio, "read_table", lambda _s, _p: None)
+    monkeypatch.setattr(
+        tio, "write_table", lambda df, path, mode="append", **kw: calls.append((path, mode))
+    )
+    rows = spark.createDataFrame(
+        [("d1", "sha256", "aa")], "doc_id string, algo string, expected_hash string"
+    )
+    n = tio.merge_expectations(spark, "expectations.parquet", rows)
+    assert n == 1
+    # routed through the filesystem branch (write_table), not writeTo().create()
+    assert calls == [("expectations.parquet", "overwrite")]
+
+
+def test_merge_catalog_true_requires_iceberg(spark, tmp_path):
+    """Explicit catalog=True fails fast when no Iceberg runtime is present
+    instead of silently writing a local dir named like a table."""
+    import pytest as _pytest
+
+    from datachecker_spark import io as tio
+
+    rows = spark.createDataFrame(
+        [("d1", "sha256", "aa")], "doc_id string, algo string, expected_hash string"
+    )
+    with _pytest.raises(ValueError, match="Iceberg"):
+        tio.merge_expectations(spark, "db.expectations", rows, catalog=True)
