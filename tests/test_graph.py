@@ -153,3 +153,53 @@ def test_cc_releases_intermediate_blocks(spark):
     out.collect()
     cache.release(out)
     assert sc._jsc.getPersistentRDDs().size() <= baseline
+
+
+def test_dedup_e2e_real_pairs(spark):
+    """VERDICT r4 #1: the composed pipeline on REAL similarity pairs — no
+    planted edges. Build a corpus with two overlapping near-dup groups and
+    distinct singletons, run ngram_jaccard_pairs -> dedup_clusters ->
+    keep_canonical, and check the survivors against a driver-side exact
+    Jaccard + union-find oracle."""
+    from datachecker_spark.textops import ngram_jaccard_pairs
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    base_b = "colorless green ideas sleep furiously under a pale winter moon tonight"
+    texts = {
+        1: base_a,
+        2: base_a + " today",            # near-dup of 1
+        3: base_a + " today always",     # near-dup of 2 (chains to 1)
+        10: base_b,
+        11: base_b + " again",           # near-dup of 10
+        20: "completely unrelated words describing orbital mechanics and fuel",
+        21: "another standalone document about medieval trade routes and salt",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+
+    # driver-side oracle: exact bigram Jaccard over the same texts
+    def sh(t):
+        w = t.lower().split()
+        return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+    ids = sorted(texts)
+    expect_pairs = sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if len(sh(texts[a]) & sh(texts[b])) / len(sh(texts[a]) | sh(texts[b])) >= 0.5
+    )
+    got_pairs = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got_pairs == expect_pairs
+    assert expect_pairs, "corpus planted no similar docs — vacuous"
+
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    kept = sorted(
+        r["doc_id"] for r in keep_canonical(docs, clusters).collect()
+    )
+    labels = _union_find(expect_pairs)
+    expect_kept = sorted(
+        d for d in ids if d not in labels or labels[d] == d
+    )
+    assert kept == expect_kept
+    cache.release(clusters)
