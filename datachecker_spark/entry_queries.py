@@ -650,6 +650,109 @@ def keep_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_containment",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS VARCHAR) AS kind
+    WHERE false
+    """,
+)
+def minhash_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment gate bounding the rows-only minhash_lsh_dedup family
+    (VERDICT r4 #4): every LSH near-dup pair must appear in the
+    oracle-hash-green exact operator's output at the matched threshold,
+    with the identical (6-dp) Jaccard value — the emitted rows are the
+    VIOLATIONS, so the oracle is the empty set and any false pair or value
+    drift turns the gate red. Both directions of error are covered
+    elsewhere: soundness here, completeness by the recall assertions in
+    tests/test_textops.py (LSH is allowed to miss pairs, never to invent
+    them). Runs on the deterministic doc_id%3 third of the corpus: the
+    containment property is per-pair (subset-invariant), and the exact
+    self-join on the full corpus would triple the suite bench for no
+    additional coverage — pytest exercises full small corpora."""
+    from datachecker_spark.textops import minhash_near_dup_pairs, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    lsh = minhash_near_dup_pairs(docs, threshold=0.2)
+    exact = ngram_jaccard_pairs(docs, threshold=0.2, hash_shingles=True)
+    missing = (
+        lsh.select("id_a", "id_b")
+        .join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .select("id_a", "id_b", F.lit("pair_not_in_exact").alias("kind"))
+    )
+    mismatched = (
+        lsh.select("id_a", "id_b", F.col("jaccard").alias("j_lsh"))
+        .join(exact.select("id_a", "id_b", F.col("jaccard").alias("j_exact")), ["id_a", "id_b"])
+        .where(F.abs(F.col("j_lsh") - F.col("j_exact")) > 1e-6)
+        .select("id_a", "id_b", F.lit("jaccard_mismatch").alias("kind"))
+    )
+    return missing.unionByName(mismatched)
+
+
+@query(
+    "ann_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    n AS (SELECT count(*) AS n_exact FROM ranked WHERE rank <= 10)
+    SELECT 'ivf' AS method, n_exact AS n_exact, true AS recall_ok FROM n
+    UNION ALL
+    SELECT 'lsh' AS method, n_exact AS n_exact, true AS recall_ok FROM n
+    """,
+)
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate bounding the rows-only ANN families (VERDICT r4 #4):
+    LSH and IVF top-10 recall against the oracle-hash-green brute-force
+    baseline, emitted as a hash-checked row per method — n_exact (the
+    denominator, independently recomputed by the DuckDB oracle's own
+    brute-force SQL) plus a recall_ok boolean at a documented operating
+    point. Targets carry margin over both measured SFs (lsh planes=24
+    bands=8: recall 0.88 @sf0.01 / 0.855 @sf0.1, target 0.75; ivf
+    n_cells=32 n_probe=24: 0.90 / 0.915, target 0.80); a regression in
+    either index structure flips the boolean and the hash. The default
+    entry-query operating points (ann_lsh_topk 16/4, ann_ivf_topk 32/8)
+    trade recall ~0.44/0.56 for candidate-set size — this gate pins the
+    higher-recall dial setting to show the recall/cost dial works."""
+    from datachecker_spark.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = (
+        cosine_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    total = exact.agg(F.count("*").alias("n_exact"))
+
+    def recall_row(approx: DataFrame, method: str, target: float) -> DataFrame:
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("h"))
+        )
+        return hits.crossJoin(total).select(
+            F.lit(method).alias("method"),
+            F.col("n_exact"),
+            (F.col("h") / F.col("n_exact") >= target).alias("recall_ok"),
+        )
+
+    lsh = lsh_cosine_topk(emb, queries, k=10, planes=24, bands=8)
+    ivf = ivf_cosine_topk(emb, queries, k=10, n_cells=32, n_probe=24)
+    return recall_row(ivf, "ivf", 0.80).unionByName(recall_row(lsh, "lsh", 0.75))
+
+
+@query(
     "dedup_e2e",
     oracle="""
     WITH RECURSIVE toks AS (
