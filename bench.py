@@ -60,6 +60,45 @@ def _build_runners(spark, sf_dir):
     return runners
 
 
+def _warmup(spark, sf_dir: str, cores: int) -> float:
+    """One-time session warmup so per-query samples reflect EXECUTION, not
+    whichever query happens to run first alphabetically (r4 VERDICT #2:
+    ann_cosine_topk's 4.58s first sample vs 0.81s second was almost entirely
+    session fixed cost). Measured attribution on this box, local[32] sf0.1:
+      * first Arrow mapInPandas job: ~2.4-2.8s — forks the Python worker
+        pool (one per core) and imports pandas/pyarrow/numpy in each;
+        a pandas_udf (ArrowEvalPython) warmup does NOT absorb it, the
+        mapInPandas runner path must run once itself.
+      * first read of each parquet table: ~0.2-1.5s — footer/schema load.
+      * first JVM job: ~3-5s — executor threads + codegen infrastructure.
+    A 1000-executor production job pays these once per executor lifetime,
+    not per query, so the suite charges them to one reported warmup_sec
+    instead of the alphabetically-first queries' first samples."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    # JVM / scheduler / codegen
+    spark.range(10**6).agg(F.sum("id")).collect()
+    # Python worker pool + pandas/numpy imports (one task per core)
+    def _mp(batches):
+        import numpy as np
+
+        for pdf in batches:
+            yield pd.DataFrame({"x": np.asarray(pdf["id"], dtype="float64")})
+
+    spark.range(0, cores * 10, 1, cores).mapInPandas(_mp, "x double").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # parquet footers/schemas for every table the suite reads
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _timed(spark, fn) -> tuple[float, list[float]]:
     """best-of-2 seconds + raw samples: one sample can inherit a GC pause or
     co-tenant stall (round-1 bench showed a trivially-cheap query at 22.6s
@@ -86,8 +125,7 @@ def main() -> None:
 
     spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8), app_name="bench")
 
-    # warm the JVM/codegen once so per-query numbers reflect execution
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    warmup_sec = _warmup(spark, sf_dir, cores)
 
     runners = _build_runners(spark, sf_dir)
 
@@ -144,6 +182,7 @@ def main() -> None:
                 "cores": cores,
                 "high_variance": variance,
                 "isolated": isolated,
+                "warmup_sec": warmup_sec,
             }
         )
     )
