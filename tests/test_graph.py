@@ -203,3 +203,54 @@ def test_dedup_e2e_real_pairs(spark):
     )
     assert kept == expect_kept
     cache.release(clusters)
+
+
+def test_cc_property_random_10k_edges(spark):
+    """VERDICT r4 #8: property coverage at 10^4-edge scale — a random
+    multi-regime graph (preferential-attachment trees for low-diameter
+    giants, ring chains for multi-round propagation, random noise edges)
+    must agree exactly with the driver-side union-find oracle."""
+    rng = random.Random(42)
+    edges: list[tuple[int, int]] = []
+    # two attachment trees (one giant, one medium)
+    for i in range(1, 4000):
+        edges.append((rng.randrange(i), i))
+    for i in range(1, 800):
+        edges.append((10000 + rng.randrange(i), 10000 + i))
+    # chains: force several star rounds
+    for base in (20000, 21000, 22000):
+        edges.extend((base + j, base + j + 1) for j in range(50))
+    # random noise (some cross-linking the regimes)
+    for _ in range(5500):
+        a, b = rng.randrange(25000), rng.randrange(25000)
+        if a != b:
+            edges.append((a, b))
+    assert len(edges) >= 10_000
+    assert _cc(spark, edges) == _union_find(edges)
+
+
+def test_cc_giant_component_hot_key_absorbed(spark):
+    """VERDICT r4 #8: a giant component spanning half the graph makes its
+    min node a hot key (degree = component size in the star form). The
+    min-aggregations must absorb it map-side: the readout plan carries a
+    partial HashAggregate before the exchange (one row per map partition
+    reaches the hot key's reduce task, not component_size rows), and the
+    result is exact."""
+    rng = random.Random(3)
+    giant = [(rng.randrange(i), i) for i in range(1, 5000)]  # one component
+    pairs = [(100000 + 2 * i, 100000 + 2 * i + 1) for i in range(2500)]
+    edges = giant + pairs
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = connected_components(df, max_iterations=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial-then-final min agg around the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(node" in plan
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    cache.release(out)
+    assert got == _union_find(edges)
+    # half the nodes really are one component
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert sizes.most_common(1)[0][1] == 5000
