@@ -9,20 +9,22 @@ singletons → byte-exact clustering within hash groups; total = bytes wasted
 Spark-first redesign (NOT a stage-for-stage translation):
 
 * One scan computes a 64-bit xxhash64 fingerprint AND a 256-bit sha2 of the
-  same canonical offset-ordered span serialization. The cheap-key pre-group
-  (size) is subsumed — hashing a span array in-JVM costs ~the same as
-  measuring it, so the multi-pass prefilter would only add shuffles.
+  same canonical offset-ordered span serialization. The reference's cheap-key
+  pre-group (size) is replaced by a cheaper one: phase 1 groups on the 8-byte
+  fp ALONE and prunes singletons, so the corpus-wide shuffle never carries
+  the 64-char sha256 — its bytes are the dominant term in the suite's
+  bandwidth demand at high core counts (the r4 2→8@4M scaling gap).
 * The reference's byte-exact clustering exists because its 256-bit hash
-  groups could collide (core.zig:147 comment). Here group identity is the
-  (fp64, sha256) pair: equality to 2^-256, i.e. the exact-confirmation stage
-  is fused into the group key instead of a quadratic in-group re-compare.
-  `exact_confirm=True` groups on the full canonical string instead — a
-  test-scale oracle proving the fused key changes nothing.
+  groups could collide (core.zig:147 comment). Here the confirm stage
+  re-groups the pruned candidates by the exact (fp64, sha256) pair —
+  equality to 2^-256 over O(dup docs) rows, not a quadratic in-group
+  re-compare. `exact_confirm=True` confirms on the full canonical string
+  instead — a test-scale oracle proving the fused key changes nothing.
 * Aggregation-key skew (one boilerplate doc on 30% of rows) is NOT fixed by
-  AQE (it handles join skew only), so the count uses a salted two-phase
-  aggregate: groupBy(key, salt) partial counts → groupBy(key) final sum.
+  AQE (it handles join skew only), so phase 1 is a salted two-phase
+  aggregate: groupBy(fp, salt) partial counts → groupBy(fp) final sum.
   Map-side partial aggregation makes phase 1 cheap; phase 2's cardinality is
-  |distinct keys| × n_salts, tiny.
+  |distinct fps| × n_salts, tiny.
 * Violations are emitted by joining the (small) duplicate-key set back to the
   doc stream — one violation row per member, never a collect_list of members
   (a hot group's member list would not fit in one task at 10^12 docs).
@@ -66,28 +68,58 @@ def with_fingerprint(docs: DataFrame, exact_confirm: bool = False) -> DataFrame:
     return docs.select("*", *extra) if extra else docs
 
 
-def duplicate_groups(
+def _candidates_and_groups(
     docs: DataFrame, *, n_salts: int = 64, exact_confirm: bool = False
-) -> DataFrame:
-    """Duplicate clusters: (fp, content_key, dup_count, size, wasted_bytes).
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate member rows, confirmed duplicate groups).
+
+    Two-phase, mirroring the reference's cheap-key-then-confirm shape
+    (duplicate_files/core.zig: size-group → prune singletons → hash →
+    prune) re-costed for a shuffle engine: phase 1 aggregates on the
+    8-byte fp ALONE — the wide content_key (64-char sha256 hex) never
+    enters the corpus-wide shuffle, cutting its bytes ~4× (branch probe
+    at 2M docs / local[8] pinned: 6.9s → 3.9s for check_duplicates over
+    a warm cache) — and prunes to fps seen more than once.
+    Phase 2 re-groups ONLY the candidate members (O(duplicate docs)) by
+    the exact (fp, content_key) pair, which removes any 64-bit-collision
+    false groups. Candidates join back through AQE (broadcast when the
+    dup-fp set fits, shuffle on the 8-byte key when it does not — at
+    10^12 docs a 2% dup rate is not broadcastable, and an 8-byte-key
+    shuffle is exactly the cheapest full-corpus exchange available).
 
     Empty documents (size 0) are excluded, matching the reference's
     size==0 skip (duplicate_files/core.zig:35).
     """
     fp = with_fingerprint(docs, exact_confirm=exact_confirm).where(F.col("size") > 0)
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
-    partial = fp.groupBy("fp", "content_key", salt.alias("_salt")).agg(
-        F.count("*").alias("_cnt"), F.min("size").alias("_sz")
+    partial = fp.groupBy("fp", salt.alias("_salt")).agg(F.count("*").alias("_cnt"))
+    dup_fps = (
+        partial.groupBy("fp")
+        .agg(F.sum("_cnt").alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("fp")
     )
+    cand = fp.join(dup_fps, "fp")
     groups = (
-        partial.groupBy("fp", "content_key")
-        .agg(F.sum("_cnt").alias("dup_count"), F.min("_sz").alias("size"))
+        cand.groupBy("fp", "content_key")
+        .agg(F.count("*").alias("dup_count"), F.min("size").alias("size"))
         .where(F.col("dup_count") > 1)
     )
     # bytes wasted: size once per extra member (duplicate_files/core.zig:76-77)
-    return groups.withColumn(
+    groups = groups.withColumn(
         "wasted_bytes", F.col("size") * (F.col("dup_count") - 1)
     )
+    return cand, groups
+
+
+def duplicate_groups(
+    docs: DataFrame, *, n_salts: int = 64, exact_confirm: bool = False
+) -> DataFrame:
+    """Duplicate clusters: (fp, content_key, dup_count, size, wasted_bytes)."""
+    _, groups = _candidates_and_groups(
+        docs, n_salts=n_salts, exact_confirm=exact_confirm
+    )
+    return groups
 
 
 def check_duplicates(
@@ -95,9 +127,14 @@ def check_duplicates(
 ) -> DataFrame:
     """Violations: one WARNING row per member of every duplicate cluster."""
     fp = with_fingerprint(docs, exact_confirm=exact_confirm).where(F.col("size") > 0)
-    groups = duplicate_groups(docs, n_salts=n_salts, exact_confirm=exact_confirm)
-    # the duplicate-key set is tiny relative to the corpus; let AQE pick
-    # broadcast when it fits, sort-merge otherwise
+    _, groups = _candidates_and_groups(
+        docs, n_salts=n_salts, exact_confirm=exact_confirm
+    )
+    # members come from a fresh scan joined to the (small) confirmed group
+    # set — NOT from the candidate subtree, which would evaluate phase 1
+    # twice (no ReusedExchange across AQE-replanned subtrees, measured).
+    # AQE picks broadcast when the group set fits (the normal regime: zero
+    # corpus-side shuffle), sort-merge otherwise
     members = fp.join(
         groups.select("fp", "content_key", "dup_count", "wasted_bytes"),
         ["fp", "content_key"],

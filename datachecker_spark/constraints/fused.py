@@ -209,33 +209,56 @@ def fused_span_checks(
     kind_consistency: bool = True,
     json_spans: bool = True,
 ) -> DataFrame | None:
-    """One posexplode for every per-span check."""
+    """One posexplode for every per-span check.
+
+    Reads the cached narrow `span_meta` column (annotate/span_meta_column)
+    when present — the span-level checks then never decompress the full
+    spans payload, which lets the runner exclude it from the cache. The
+    fallback derives the identical five fields from the raw spans (direct
+    callers on un-annotated frames; equality fused-vs-standalone is
+    asserted in tests/test_fused.py)."""
     if not (kind_consistency or json_spans):
         return None
-    s = docs.select(
-        "doc_id", "part", F.posexplode("spans").alias("pos", "span")
-    ).select("doc_id", "part", "pos", "span.*")
+    if "span_meta" in docs.columns:
+        s = docs.select(
+            "doc_id", "part", F.posexplode("span_meta").alias("pos", "m")
+        ).select("doc_id", "part", "pos", "m.*")
+    else:
+        s = docs.select(
+            "doc_id", "part", F.posexplode("spans").alias("pos", "span")
+        ).select(
+            "doc_id",
+            "part",
+            "pos",
+            F.col("span.kind").alias("kind"),
+            P.implied_format(F.col("span.text")).alias("implied"),
+            F.col("span.text").isNotNull().alias("has_text"),
+            F.col("span.media_ref").isNotNull().alias("has_ref"),
+            (
+                (
+                    (F.col("span.kind") == "json")
+                    | ((F.col("span.kind") == "text") & F.col("span.text").startswith("{"))
+                )
+                & F.col("span.text").isNotNull()
+                & F.from_json(F.col("span.text"), "map<string,string>").isNull()
+            ).alias("bad_json"),
+        )
     structs: list[Column] = []
     if kind_consistency:
-        implied = F.lit(None).cast("string")
-        for prefix, fmt in reversed(P.MAGIC_PREFIXES):
-            implied = F.when(
-                F.col("text").startswith(prefix), F.lit(fmt)
-            ).otherwise(implied)
         bad_kind = ~F.col("kind").isin(P.ALLOWED_KINDS) | F.col("kind").isNull()
         text_is_binary = (
             F.col("kind").isin("text", "json")
-            & implied.isNotNull()
-            & ~implied.isin("html")
+            & F.col("implied").isNotNull()
+            & ~F.col("implied").isin("html")
         )
-        media_has_text = (F.col("kind") == "media") & F.col("text").isNotNull()
-        text_has_ref = (F.col("kind") == "text") & F.col("media_ref").isNotNull()
+        media_has_text = (F.col("kind") == "media") & F.col("has_text")
+        text_has_ref = (F.col("kind") == "text") & F.col("has_ref")
         reason = (
             F.when(bad_kind, F.format_string(
                 "span %d: unknown kind '%s'", F.col("pos"), F.col("kind")))
             .when(text_is_binary, F.format_string(
                 "span %d: declared %s but content is %s",
-                F.col("pos"), F.col("kind"), implied))
+                F.col("pos"), F.col("kind"), F.col("implied")))
             .when(media_has_text, F.format_string(
                 "span %d: media span carries inline text", F.col("pos")))
             .when(text_has_ref, F.format_string(
@@ -244,16 +267,8 @@ def fused_span_checks(
         )
         structs.append(_v(P.CHECK_KIND, SEV_ERROR, reason.isNotNull(), reason))
     if json_spans:
-        jsonish = (F.col("kind") == "json") | (
-            (F.col("kind") == "text") & F.col("text").startswith("{")
-        )
-        invalid = (
-            jsonish
-            & F.col("text").isNotNull()
-            & F.from_json(F.col("text"), "map<string,string>").isNull()
-        )
         structs.append(
-            _v(P.CHECK_JSON, SEV_ERROR, invalid,
+            _v(P.CHECK_JSON, SEV_ERROR, F.col("bad_json"),
                F.format_string("span %d: invalid JSON payload", F.col("pos")))
         )
     return _explode_violations(s, structs)

@@ -299,6 +299,43 @@ MAGIC_PREFIXES = [
 ]
 
 
+def implied_format(text: Column) -> Column:
+    """Format implied by the span content's magic prefix (NULL when none)."""
+    implied = F.lit(None).cast("string")
+    for prefix, fmt in reversed(MAGIC_PREFIXES):
+        implied = F.when(text.startswith(prefix), F.lit(fmt)).otherwise(implied)
+    return implied
+
+
+def span_meta_column(spans: Column) -> Column:
+    """Narrow per-span projection carrying EVERY field the span-level checks
+    (kind consistency + JSON validity) consume: kind, implied format,
+    text/ref presence, and the JSON-parse verdict. Evaluated once at
+    annotate time (fingerprint.DERIVED_COLUMNS), it lets the runner drop
+    the full spans payload from the suite cache — the widest cached column,
+    whose decompression in the union job is otherwise a full extra pass of
+    the corpus text over the memory bus (the binding constraint in the
+    BASELINE.md scaling accounting). Array order preserves span positions
+    for the violation details."""
+    jsonish = lambda s: (s["kind"] == F.lit("json")) | (  # noqa: E731
+        (s["kind"] == F.lit("text")) & s["text"].startswith("{")
+    )
+    return F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            implied_format(s["text"]).alias("implied"),
+            s["text"].isNotNull().alias("has_text"),
+            s["media_ref"].isNotNull().alias("has_ref"),
+            (
+                jsonish(s)
+                & s["text"].isNotNull()
+                & F.from_json(s["text"], "map<string,string>").isNull()
+            ).alias("bad_json"),
+        ),
+    )
+
+
 def check_kind_consistency(docs: DataFrame) -> DataFrame:
     """ERROR when a span's declared kind contradicts its content:
 
@@ -313,12 +350,7 @@ def check_kind_consistency(docs: DataFrame) -> DataFrame:
         "doc_id", "part", F.posexplode("spans").alias("pos", "span")
     ).select("doc_id", "part", "pos", "span.*")
 
-    implied = F.lit(None).cast("string")
-    for prefix, fmt in reversed(MAGIC_PREFIXES):
-        implied = F.when(
-            F.col("text").startswith(prefix), F.lit(fmt)
-        ).otherwise(implied)
-    s = s.withColumn("_implied", implied)
+    s = s.withColumn("_implied", implied_format(F.col("text")))
 
     bad_kind = ~F.col("kind").isin(ALLOWED_KINDS) | F.col("kind").isNull()
     text_is_binary = F.col("kind").isin("text", "json") & F.col("_implied").isNotNull() & ~F.col("_implied").isin("html")

@@ -135,6 +135,14 @@ DERIVED_COLUMNS = (
     # memory bus once per ref consumer, which the bandwidth accounting in
     # BASELINE.md shows is the binding constraint on a shared socket
     "refs",
+    # narrow per-span fields for the span-level checks (kind consistency +
+    # JSON validity, constraints/predicates.span_meta_column). With this
+    # materialized, NO union branch reads the cached spans payload at all —
+    # the runner drops `spans` from the cache entirely (when integrity
+    # doesn't need the canonical recompute), halving the cached text bytes
+    # (_flat remains the single text copy) and removing a full
+    # decompress-the-corpus pass from the union job
+    "span_meta",
 )
 
 
@@ -170,6 +178,11 @@ def annotate(docs):
     higher-order chain is interpreted (outside codegen) and allocation-heavy
     — halving its evaluations measurably lifts the content pass's multi-core
     ceiling (GC work competes with mutator threads for the same cores)."""
+    # lazy import: constraints/ imports fingerprint at module level, so the
+    # span-meta builder (which lives with the magic-prefix table it encodes)
+    # is resolved at call time to keep the layering acyclic
+    from datachecker_spark.constraints.predicates import span_meta_column as _span_meta
+
     missing = [c for c in DERIVED_COLUMNS if c not in docs.columns]
     if not missing:
         return docs
@@ -196,6 +209,7 @@ def annotate(docs):
             F.filter(media_spans, lambda s: s["media_ref"].isNotNull()),
             lambda s: s["media_ref"],
         ),
+        "span_meta": _span_meta(F.col("spans")),
     }
     return staged.select(
         *docs.columns, *[derived[c].alias(c) for c in missing]

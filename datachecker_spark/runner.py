@@ -231,6 +231,39 @@ class SuiteResult:
         )
 
 
+def _cache_can_drop_spans(
+    cfg: "SuiteConfig", expected_fingerprints: DataFrame | None
+) -> bool:
+    """True when no enabled branch reads the raw `spans` payload, so the
+    suite cache can exclude it entirely. With the derived columns present
+    every family reads narrow cached columns (`span_meta` covers the
+    span-level checks); the two exceptions that still need the raw array:
+
+    * fused_rows=False with the standalone kind/json checks — those
+      posexplode `spans` directly;
+    * an integrity expectation table using algorithms beyond
+      xxhash64/sha256 — those recompute the canonical string from spans
+      (constraints/integrity._computed_column). The distinct-algo probe is
+      a tiny aggregate on the expectation table (verify_integrity runs the
+      same one).
+
+    Dropping `spans` halves the cached text bytes (`_flat` stays the single
+    text copy) — cache_fill writes less, the union job decompresses less,
+    and the whole suite's bytes-per-doc demand on the memory bus falls
+    (the binding constraint in BASELINE.md's scaling accounting)."""
+    if not cfg.fused_rows and (cfg.kind_consistency or cfg.json_spans):
+        return False
+    if cfg.integrity and expected_fingerprints is not None:
+        algos = {
+            r["algo"]
+            for r in expected_fingerprints.select("algo").distinct().collect()
+            if r["algo"]
+        }
+        if any(a not in ("xxhash64", "sha256") for a in algos):
+            return False
+    return True
+
+
 def run_suite(
     docs: DataFrame,
     *,
@@ -262,7 +295,10 @@ def run_suite(
     mat = materializer(cfg, docs.sparkSession)
     t = timings if timings is not None else {}
     t0 = time.perf_counter()
-    docs = annotate(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = annotate(docs)
+    if "spans" in docs.columns and _cache_can_drop_spans(cfg, expected_fingerprints):
+        docs = docs.drop("spans")
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     docs.count()
     t["cache_fill"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
