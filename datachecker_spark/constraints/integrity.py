@@ -237,7 +237,11 @@ def _computed_column(docs: DataFrame, algos_present: list[str]) -> Column:
 
 
 def verify_integrity(
-    docs: DataFrame, expected: DataFrame, *, include_missing: bool = True
+    docs: DataFrame,
+    expected: DataFrame,
+    *,
+    include_missing: bool = True,
+    materialize=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (violations, write_back).
 
@@ -247,7 +251,15 @@ def verify_integrity(
     for expectations under an algorithm with no local implementation.
     write_back: (doc_id, algo, expected_hash=computed) rows the caller merges
     into the expectation table (the reference writes the sidecar in place).
-    """
+
+    materialize (df -> df, the runner's checkpoint seam — same convention as
+    textops/graph): when provided, the expectation join is narrowed to the
+    six fields the verdicts need and materialized ONCE; the violation
+    branches AND write_back then read the same block instead of each
+    re-running the corpus-scale join + hash compute (write_back's separate
+    evaluation was a level-independent ~4-7s serial tail in run_suite's
+    metrics phase — an Amdahl cap on N→4N scaling). The caller owns block
+    release once both outputs are materialized."""
     exp = expected.select("doc_id", "algo", "expected_hash")
     # tiny aggregate: compile only the hash branches the table actually uses
     algos_present = sorted(
@@ -268,6 +280,10 @@ def verify_integrity(
     # doc present iff the docs side matched (part is never NULL for real docs)
     j = j.withColumn("_present", F.col("part").isNotNull())
     j = j.withColumn("_computed", _computed_column(comp_side, algos_present))
+    if materialize is not None:
+        j = materialize(
+            j.select("doc_id", "algo", "expected_hash", "part", "_present", "_computed")
+        )
 
     supported = F.col("algo").isin(list(SUPPORTED_ALGOS))
     create = j.where(

@@ -385,11 +385,6 @@ def run_suite(
     if cfg.referential and media_catalog is not None:
         parts.append(referential.check_media_refs(docs, media_catalog))
     write_back = None
-    if cfg.integrity and expected_fingerprints is not None:
-        v, write_back = integrity.verify_integrity(
-            docs, expected_fingerprints, include_missing=False
-        )
-        parts.append(v)
     if cfg.integrity_missing and expected_fingerprints is not None:
         parts.append(integrity.check_missing_expectations(docs, expected_fingerprints))
     if cfg.partition_sizes:
@@ -411,7 +406,7 @@ def run_suite(
     # critical path never blocks on them.
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=3)
     drift_fut = None
     # drift's internal obs/counts checkpoints are consumed entirely within
     # this call — track them so they're released (cache.py: GC never
@@ -450,6 +445,37 @@ def run_suite(
         return p
 
     profile_fut = pool.submit(_profile_job)
+
+    # integrity runs like drift: a background job whose expectation join +
+    # hash compute is materialized ONCE (verify_integrity's materialize
+    # seam), with the violation rows AND write_back derived from the same
+    # block. Previously the violations union computed the join once and
+    # mat(write_back) re-ran it SERIALLY after the union — a
+    # level-independent ~4-7s tail at 4M docs that capped N→4N efficiency
+    # (Amdahl), and 2× the join work. The join block is released inside the
+    # job once both outputs are materialized.
+    integrity_fut = None
+    if cfg.integrity and expected_fingerprints is not None:
+
+        def _integrity_job():
+            s0 = time.perf_counter()
+            blocks: list[DataFrame] = []
+
+            def _mt(d: DataFrame) -> DataFrame:
+                d = mat(d)
+                blocks.append(d)
+                return d
+
+            v, wb = integrity.verify_integrity(
+                docs, expected_fingerprints, include_missing=False,
+                materialize=_mt,
+            )
+            v, wb = mat(v), mat(wb)
+            cache.release(*blocks)
+            t["integrity_total"] = round(time.perf_counter() - s0, 2)
+            return v, wb
+
+        integrity_fut = pool.submit(_integrity_job)
 
     t["branch_build"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
@@ -494,6 +520,9 @@ def run_suite(
         # the final drift block is materialized — its obs/counts inputs
         # are now pure insurance against a recomputation that can't happen
         cache.release(*drift_intermediates)
+    if integrity_fut is not None:
+        iv, write_back = integrity_fut.result()
+        violations = iv if violations is None else violations.unionByName(iv)
     if violations is None:  # every family disabled: empty, stable schema
         from datachecker_spark.contract import empty_violations
 
@@ -521,15 +550,17 @@ def run_suite(
         checks,
         part_counts=profile.select("part", F.col("n_docs").alias("docs_scanned")),
     )
+    s0 = time.perf_counter()
     metrics = mat(metrics)
-    if write_back is not None:
-        write_back = mat(write_back)
+    t["metrics_mat"] = round(time.perf_counter() - s0, 2)
     # blocking: a lazy unpersist leaves the old cache resident while the
     # next run_suite call populates a fresh one — at high corpus sizes the
     # overlap pushed the heap to its limit and collapsed into full-GC
     # thrashing (measured: 32-core worker at 4M docs stuck at <40% of one
     # core with RSS pinned at the heap cap)
+    s0 = time.perf_counter()
     docs.unpersist(blocking=True)
+    t["unpersist"] = round(time.perf_counter() - s0, 2)
     t["metrics_profile"] = round(time.perf_counter() - t0, 2)
     return SuiteResult(violations, metrics, profile, write_back)
 
