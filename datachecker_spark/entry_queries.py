@@ -363,11 +363,72 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed-width long join keys + tokenize-once checkpoint of the hashed
     exploded table); values identical to the string-key oracle unless two
     shingles of the same doc collide in 64 bits (~S²/2⁶⁵ — the identity is
-    also pytest-asserted on a mixed corpus)."""
+    also pytest-asserted on a mixed corpus). candidates="prefix" (All-Pairs
+    prefix filtering, round-5) replaces the full common-shingle self-join
+    with a prefix-token join — measured 23.7s → 12.9s (1.8×) at this
+    query's t=0.2/max_df=1000 on sf0.1/local[32], clean sequential runs
+    (tools/bench_ngram_modes.py), byte-identical output, so the
+    count-join-shaped oracle still gates it."""
     from datachecker_spark.textops import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.2, max_df=1000, hash_shingles=True)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.2, max_df=1000, hash_shingles=True, candidates="prefix"
+    )
+
+
+@query(
+    "ngram_prefix_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(str_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents
+    ),
+    sets AS (
+      SELECT id,
+             list_distinct(
+               list_filter(
+                 list_transform(list_zip(words, words[2:]),
+                                x -> CASE WHEN x[2] IS NULL THEN NULL
+                                          ELSE x[1] || ' ' || x[2] END),
+                 v -> v IS NOT NULL)) AS sh
+      FROM toks
+    ),
+    ex0 AS (SELECT id, unnest(sh) AS s FROM sets WHERE len(sh) > 0),
+    hot AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > 1000),
+    ex AS (SELECT id, s FROM ex0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT id, count(*) AS n FROM ex GROUP BY id),
+    pairs AS (
+      SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+      FROM ex x JOIN ex y ON x.s = y.s AND x.id < y.id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a AS id_a, p.id_b AS id_b,
+           round(p.inter / (sa.n + sb.n - p.inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.id = p.id_a
+    JOIN sizes sb ON sb.id = p.id_b
+    WHERE p.inter / (sa.n + sb.n - p.inter) >= 0.5
+    """,
+)
+def ngram_prefix_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREFIX-FILTERED exact-Jaccard path (All-Pairs/ppjoin candidate
+    generation, textops._jaccard_prefix_filtered) at a dedup-grade
+    threshold (0.5) — the regime the prefix filter exists for, where the
+    (df asc)-ordered prefixes exclude the high-df shingles that dominate
+    the count-join's Σ df² cost. The oracle is the SAME exact-Jaccard SQL
+    as ngram_jaccard_pairs at t=0.5: prefix filtering is a candidate-
+    pruning strategy, not a semantics change, so a hash-green row here
+    verifies the whole alternative plan (global (df, s) ordering, prefix
+    slice, length filter, array_intersect verify) end-to-end against an
+    implementation-independent oracle."""
+    from datachecker_spark.textops import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=1000, hash_shingles=True, candidates="prefix"
+    )
 
 
 @query("minhash_lsh_dedup")  # rows-only: xxhash64 has no DuckDB equivalent
@@ -674,7 +735,9 @@ def minhash_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
     lsh = minhash_near_dup_pairs(docs, threshold=0.2)
-    exact = ngram_jaccard_pairs(docs, threshold=0.2, hash_shingles=True)
+    exact = ngram_jaccard_pairs(
+        docs, threshold=0.2, hash_shingles=True, candidates="prefix"
+    )
     missing = (
         lsh.select("id_a", "id_b")
         .join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
@@ -819,12 +882,18 @@ def dedup_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_pairs oracle, same threshold and max_df) feeding the
     proven recursive min-label CTE (the dedup_clusters oracle), then the
     keep filter (singletons kept via left join, clustered docs kept iff
-    node == cluster_id)."""
+    node == cluster_id). The similarity stage runs candidates="prefix"
+    (round-5: 1.8× faster standalone at this threshold, identical pairs;
+    the composition itself measures flat at sf0.1 — cluster rounds + keep
+    dominate — and keeps prefix for the at-scale df²-tail argument,
+    BASELINE.md round-5 section)."""
     from datachecker_spark.graph import dedup_clusters, keep_canonical
     from datachecker_spark.textops import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_df=1000, hash_shingles=True)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.2, max_df=1000, hash_shingles=True, candidates="prefix"
+    )
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     return keep_canonical(docs.select("doc_id", "n_chars"), clusters)
 

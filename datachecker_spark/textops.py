@@ -190,6 +190,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     hash_shingles: bool = False,
+    candidates: str = "join",
     materialize=None,
 ) -> DataFrame:
     """All pairs with exact shingle-set Jaccard ≥ threshold.
@@ -197,6 +198,32 @@ def ngram_jaccard_pairs(
     |A ∩ B| falls out of the shingle equi-join's group count; |A ∪ B| =
     |A| + |B| − |A ∩ B| from per-doc set sizes. Pairs sharing no shingle
     (jaccard 0) never materialize — the join is the candidate filter.
+
+    candidates="prefix" swaps the candidate stage for ALL-PAIRS prefix
+    filtering with a length filter (Bayardo/Ma/Srikant WWW'07; Xiao et al.
+    WWW'08 ppjoin — public algorithms), the standard next step beyond the
+    blunt max_df cap when Σ df² still explodes: order the shingle universe
+    globally by (document frequency asc, shingle asc) and self-join each
+    doc's FIRST p = |A| − ⌈t·|A|⌉ + 1 shingles only. Completeness: for any
+    pair with J ≥ t, the globally-smallest common shingle w must sit inside
+    BOTH prefixes — if w fell outside A's prefix, every common shingle
+    would lie in A's suffix of size ⌈t·|A|⌉ − 1 < t·|A| ≤ |A ∩ B|, a
+    contradiction (symmetrically for B) — so the prefix self-join loses no
+    qualifying pair, and the exact array_intersect verify keeps output
+    byte-identical to candidates="join" (pytest-asserted). The win is NOT
+    the 1−t prefix truncation; it is that the ordering pushes HIGH-df
+    shingles (the d² cost centers) out of the prefixes entirely, so join
+    cost concentrates on rare shingles. The price is carrying each doc's
+    sorted shingle array through the verify join — and measurement says
+    the price is small: on the sf0.1 corpus (local[32], best-of-2 cold,
+    release_all between samples, sequential runs only,
+    tools/bench_ngram_modes.py, 2026-08-20) prefix wins at EVERY
+    threshold — t=0.2: 12.9s vs 23.7s, t=0.5: 10.5s vs 20.2s, t=0.7:
+    10.0s vs 18.0s (1.8–1.9×, identical row counts asserted per cell).
+    "prefix" is therefore the production path for the standalone pair
+    queries; "join" remains the count-based oracle-shaped plan. In the
+    full dedup_e2e COMPOSITION the two modes measure flat at sf0.1
+    (cluster rounds + keep join dominate there), see BASELINE.md.
 
     max_df is the HOT-SHINGLE GUARD: a shingle shared by d documents
     contributes d² rows to the self-join, so one stop-phrase shared by 10⁶
@@ -251,6 +278,10 @@ def ngram_jaccard_pairs(
             ex.groupBy("s").agg(F.count("*").alias("_df")).where(F.col("_df") > max_df)
         )
         ex = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    if candidates == "prefix":
+        return _jaccard_prefix_filtered(ex, threshold, materialize)
+    if candidates != "join":
+        raise ValueError(f"candidates must be 'join' or 'prefix', got {candidates!r}")
     # |capped shingle set| per doc == row count in ex (shingles are distinct
     # per doc); identical to size(sh) when max_df is None
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
@@ -273,6 +304,58 @@ def ngram_jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def _jaccard_prefix_filtered(ex: DataFrame, threshold: float, materialize) -> DataFrame:
+    """candidates="prefix" body of ngram_jaccard_pairs (see its docstring
+    for the completeness proof): ex is the (id, s) exploded distinct-shingle
+    table AFTER the hot-shingle guard.
+
+    Plan shape: one groupBy(s) for document frequencies, one join to tag
+    each (id, s) with its df, one groupBy(id) assembling the (df, s)-sorted
+    shingle array (struct sort = the global order), then the self-join runs
+    over EXPLODED PREFIXES ONLY. The doc table (sorted array + prefix) is
+    materialized once and read three times (prefix explode + both verify
+    sides) — same tokenize-once economics as the "join" path's checkpoint.
+    The length filter (J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)) prunes
+    candidates before the array-carrying verify join; verification is
+    array_intersect on the sorted fixed-order arrays, exact by construction.
+    """
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("_df"))
+    exd = ex.join(dfreq, "s")
+    docs_arr = exd.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("_df"), F.col("s")))).alias("arr")
+    )
+    n = F.size("arr")
+    p = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    docs_arr = docs_arr.select(
+        "id",
+        n.alias("n"),
+        F.transform("arr", lambda e: e["s"]).alias("ss"),
+        F.transform(F.slice("arr", F.lit(1), p), lambda e: e["s"]).alias("pref"),
+    )
+    docs_arr = (materialize or (lambda d: d.localCheckpoint(eager=False)))(docs_arr)
+    pr = docs_arr.select("id", "n", F.explode("pref").alias("s"))
+    cand = (
+        pr.alias("x")
+        .join(pr.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .where(F.least("x.n", "y.n") >= F.lit(threshold) * F.greatest("x.n", "y.n"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = docs_arr.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("ss").alias("ss_a")
+    )
+    sb = docs_arr.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("ss").alias("ss_b")
+    )
+    ver = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return ver.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------

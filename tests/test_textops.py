@@ -58,6 +58,33 @@ def test_ngram_jaccard_hashed_shingles_identical(spark):
     assert exact == hashed and len(exact) > 10
 
 
+def test_ngram_jaccard_prefix_filter_identical(spark):
+    """candidates="prefix" (All-Pairs prefix filtering + length filter +
+    array_intersect verify) must emit exactly the same (pair, jaccard) set
+    as the count-join path — across thresholds (the prefix length depends
+    on t), with and without hashed shingles, and with the max_df hot guard
+    active (prefix ordering runs over the capped universe)."""
+    rows = [("base", BASE), ("near", NEAR), ("other", OTHER)] + [
+        (f"d{i}", f"{BASE} suffix variant {i} {'pad ' * (i % 5)}") for i in range(20)
+    ] + [(f"s{i}", f"unique little doc number {i}") for i in range(5)]
+    df = _df(spark, rows)
+
+    def pairs(**kw):
+        return {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in X.ngram_jaccard_pairs(df, **kw).collect()}
+
+    for kw in (
+        dict(threshold=0.1),
+        dict(threshold=0.5, hash_shingles=True),
+        dict(threshold=0.2, max_df=10, hash_shingles=True),
+        dict(threshold=0.9),
+    ):
+        join_path = pairs(candidates="join", **kw)
+        prefix_path = pairs(candidates="prefix", **kw)
+        assert join_path == prefix_path, kw
+    assert len(pairs(candidates="prefix", threshold=0.1)) > 10
+
+
 def test_minhash_near_dups(spark):
     df = _df(spark, [("base", BASE), ("near", NEAR), ("other", OTHER)])
     pairs = X.minhash_near_dup_pairs(df, threshold=0.6).collect()
