@@ -28,8 +28,10 @@ Scale notes (10^12-doc table, O(dup rate x docs) edges):
 * Each round is materialized through the caller's `materialize` seam (the
   same hook runner.SuiteConfig.checkpoint_mode threads into textops/drift),
   cutting the iterative lineage — without it the plan doubles per round.
-* Fixpoint detection is one count+hash-sum aggregate per round (a driver
-  scalar, not a collect of data).
+* Fixpoint detection is one exact star-forest aggregate per round (a driver
+  scalar, not a collect of data) — checked BEFORE each round, so convergence
+  costs zero redundant confirmation rounds and a false fixpoint is
+  structurally impossible.
 """
 
 from __future__ import annotations
@@ -53,27 +55,45 @@ def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
-def _signature(edges: DataFrame) -> tuple:
-    """Cheap fixpoint signature: (count, two independent hash sums).
+def _is_star_forest(edges: DataFrame) -> bool:
+    """EXACT fixpoint test, one aggregate job over the canonical edge list.
 
-    Equality of successive signatures declares convergence. Hash values
-    are reduced mod 2^20 before summing so the sum stays within a long
-    under ANSI arithmetic up to ~2^43 edges; a false match needs identical
-    counts plus a simultaneous collision of both seeded sums (~2^-40 per
-    round — and connected_components backstops it with an explicit post-loop
-    star-forest assertion that raises rather than returning split clusters,
-    because the final min-agg would otherwise resolve a non-star edge set
-    silently). The
-    alternative (exceptAll on the full edge set per round) costs a second
-    shuffle per round for no practical gain.
+    A canonical (u<v per edge) edge set is a star forest — the alternation's
+    true fixpoint (Kiveris et al. 2014, Thm 1: both stars preserve
+    components, and the terminal states are exactly min-rooted stars) — iff
+    (a) no node appears as a member (v) twice and (b) no member is also a
+    root (u). Checked as a single union + groupBy + limit(1).count(): one
+    shuffle per round, same per-round action count as the hash-sum signature
+    this replaces, but it stops one full round earlier (a signature only
+    detects a fixpoint by watching a round change NOTHING, i.e. after one
+    redundant round of two stars + two joins) and it is exact — no
+    hash-collision early-stop probability to price, no post-loop assertion
+    needed. This action is also what materializes the round's lazy
+    localCheckpoint, so it costs no extra job.
     """
-    m = 1 << 20
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(m))).alias("h1"),
-        F.sum(F.pmod(F.xxhash64("v", "u"), F.lit(m))).alias("h2"),
-    ).collect()[0]
-    return (row["n"], row["h1"], row["h2"])
+    # SINGLE scan of `edges` (explode, not self-union): the first check of a
+    # round runs against a not-yet-materialized lazy localCheckpoint, and a
+    # plan with two scans of an unmaterialized checkpoint computes its
+    # upstream (the whole similarity pipeline, on round 0) TWICE in one job
+    # — measured +8s on dedup_e2e at sf0.1. Every later double-scan in the
+    # loop (sym, comp read-out) runs after this action has populated the
+    # blocks, so only the check itself needs the single-scan form.
+    node_roles = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("node"), F.lit(1).alias("r"), F.lit(0).alias("m")),
+                F.struct(F.col("v").alias("node"), F.lit(0).alias("r"), F.lit(1).alias("m")),
+            )
+        ).alias("x")
+    ).select("x.node", "x.r", "x.m")
+    bad = (
+        node_roles.groupBy("node")
+        .agg(F.sum("r").alias("r"), F.sum("m").alias("m"))
+        .where((F.col("m") > 1) | ((F.col("r") > 0) & (F.col("m") > 0)))
+        .limit(1)
+        .count()
+    )
+    return bad == 0
 
 
 def connected_components(
@@ -116,10 +136,24 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u", "v"
     )
     e = mat(e)
-    sig = _signature(e)
+    prev: DataFrame | None = None
 
     for _ in range(max_iterations):
-        prev, prev_sig = e, sig
+        # Exact fixpoint test first — also the action that materializes the
+        # current round's lazy checkpoint; only after it completes is the
+        # PREVIOUS round's block set safe to release (e's checkpoint reads
+        # prev's blocks until then). Checking at the top of the round (vs
+        # the old signature-repeat test at the bottom) saves one entire
+        # redundant confirmation round of two stars + two joins, and an
+        # already-star input (e.g. exact-duplicate groups keyed to their
+        # min) converges with ZERO star rounds.
+        done = _is_star_forest(e)
+        if prev is not None:
+            cache.release(prev)
+            prev = None
+        if done:
+            break
+        prev = e
 
         # large-star over the symmetric view
         sym = e.unionByName(
@@ -145,32 +179,15 @@ def connected_components(
         )
 
         e = mat(small)
-        sig = _signature(e)  # action: materializes this round's checkpoint
-        cache.release(prev)  # prior round's blocks no longer back anything
-        if sig == prev_sig:
-            break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
 
-    # post-loop star-forest assertion (backstop for a ~2^-40/round false
-    # signature match): a converged edge set is exactly {(root, member)}
-    # with roots = component minima, so (a) no node appears as a member
-    # twice and (b) no root is also a member. Either violation means the
-    # loop stopped early on a hash collision — fail loudly instead of
-    # letting the min-agg below quietly emit split clusters. Two small
-    # aggregations over the final O(dup) edge list, once per call.
-    dup_members = (
-        e.groupBy("v").agg(F.count("*").alias("c")).where(F.col("c") > 1).limit(1).count()
-    )
-    chained = e.select("u").intersect(e.select("v")).limit(1).count()
-    if dup_members or chained:
-        raise RuntimeError(
-            "connected_components: converged edge set is not a star forest "
-            "(false fixpoint from a signature collision) — rerun with a "
-            "different session or raise max_iterations"
-        )
+    # no post-loop assertion needed: the loop exits only on the EXACT
+    # star-forest test, so a split-cluster false fixpoint is impossible by
+    # construction (the old hash-signature loop priced a ~2^-40/round
+    # collision and paid two extra assertion jobs to backstop it)
 
     # star edges: u = component min (root), v = member
     comp = (
