@@ -730,13 +730,21 @@ def minhash_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     them). Runs on the deterministic doc_id%3 third of the corpus: the
     containment property is per-pair (subset-invariant), and the exact
     self-join on the full corpus would triple the suite bench for no
-    additional coverage — pytest exercises full small corpora."""
-    from datachecker_spark.textops import minhash_near_dup_pairs, ngram_jaccard_pairs
+    additional coverage — pytest exercises full small corpora. Both
+    pipelines consume ONE shared tokenization pass via the shingle_sets
+    seam (the round-5 composition contract: tokenize once per corpus, not
+    once per operator; output identical either way, pytest-asserted)."""
+    from datachecker_spark.textops import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
-    lsh = minhash_near_dup_pairs(docs, threshold=0.2)
+    shared = shingle_sets(docs).localCheckpoint(eager=False)
+    lsh = minhash_near_dup_pairs(docs, threshold=0.2, sets=shared)
     exact = ngram_jaccard_pairs(
-        docs, threshold=0.2, hash_shingles=True, candidates="prefix"
+        docs, threshold=0.2, hash_shingles=True, candidates="prefix", sets=shared
     )
     missing = (
         lsh.select("id_a", "id_b")

@@ -69,6 +69,33 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, sh): per-doc DISTINCT word-shingle sets — the shared first stage
+    of the minhash and exact-Jaccard pipelines (empty-set docs dropped, as
+    both consumers require).
+
+    Tokenization is the interpreted-HOF pass that dominates these operators
+    (measured: 4 re-derivations cost +50s at sf0.1 — see ngram_jaccard_pairs
+    docstring), so a composition that runs BOTH pipelines over the same
+    corpus should compute this once, materialize it, and hand it to each
+    consumer via their `sets=` parameter: one corpus scan + one tokenize
+    pass total instead of one per operator. Contract: the CALLER owns the
+    materialization (pass an already-checkpointed frame) and the disposal
+    (the checkpoint blocks surface as LogicalRDD leaves of every consumer's
+    plan, so cache.release(result) on any consumer reaches them — same
+    contract as the operators' internal checkpoints)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
+    ).where(F.size("sh") > 0)
+
+
 def minhash_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -111,6 +138,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     materialize=None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard ≥ threshold).
 
@@ -121,23 +149,29 @@ def minhash_near_dup_pairs(
     materialize: df->df hook for the shingle-set materialization — the same
     cluster-deploy seam the drift builders accept (runner.materializer:
     reliable checkpoint / persist for deployments with executor churn).
-    Default: lazy localCheckpoint (fastest; blocks die with executors)."""
+    Default: lazy localCheckpoint (fastest; blocks die with executors).
+
+    sets: pre-tokenized shingle_sets(...) output shared across operators in
+    a composition (see that docstring). The caller owns its materialization
+    and disposal; `materialize`/`shingle_k`/`text_col` are ignored for the
+    shingle stage when provided."""
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
-    ).where(F.size("sh") > 0)
-    # materialize the shingle sets once (read 3x below: signatures + both
-    # verify sides). Default lazy localCheckpoint, NOT persist: persist()
-    # would double-cache (the block manager AND the checkpoint store) with no
-    # unpersist point inside a lazy API. The block is NOT GC-reclaimed
-    # (cache.py: the ContextCleaner path is dead from Python) — callers
-    # done with the result dispose of it with cache.release(result_df),
-    # which reaches this block as a LogicalRDD leaf of the returned plan.
-    # Persist-mode materializers (whose InMemoryRelation is NOT a LogicalRDD
-    # leaf) track the intermediate in the hook and release it directly —
-    # the same _mat_track pattern the runner uses for drift's aggregates.
-    base = (materialize or (lambda d: d.localCheckpoint(eager=False)))(base)
+    if sets is not None:
+        base = sets
+    else:
+        base = shingle_sets(df, id_col, text_col, shingle_k=shingle_k)
+        # materialize the shingle sets once (read 3x below: signatures + both
+        # verify sides). Default lazy localCheckpoint, NOT persist: persist()
+        # would double-cache (the block manager AND the checkpoint store) with
+        # no unpersist point inside a lazy API. The block is NOT GC-reclaimed
+        # (cache.py: the ContextCleaner path is dead from Python) — callers
+        # done with the result dispose of it with cache.release(result_df),
+        # which reaches this block as a LogicalRDD leaf of the returned plan.
+        # Persist-mode materializers (whose InMemoryRelation is NOT a
+        # LogicalRDD leaf) track the intermediate in the hook and release it
+        # directly — the same _mat_track pattern the runner uses for drift's
+        # aggregates.
+        base = (materialize or (lambda d: d.localCheckpoint(eager=False)))(base)
     # signatures via the relational (codegen'd) path; candidates carry ONLY
     # ids through the band explode / self-join / dedup — shuffling the
     # shingle arrays 16× per doc is the data amplification that kills this
@@ -192,6 +226,7 @@ def ngram_jaccard_pairs(
     hash_shingles: bool = False,
     candidates: str = "join",
     materialize=None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with exact shingle-set Jaccard ≥ threshold.
 
@@ -259,20 +294,30 @@ def ngram_jaccard_pairs(
     the keys before the checkpoint cuts the materialized bytes and the
     self-join hash/compare cost on top. hash_shingles=True is therefore
     the production default for the entry query; the bench-visible r3
-    regression (45.4s) was the string-key checkpoint."""
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(tokens(text_col), shingle_k)).alias("sh"),
-    ).where(F.size("sh") > 0)
+    regression (45.4s) was the string-key checkpoint.
+
+    sets: pre-tokenized shingle_sets(...) output shared across operators in
+    a composition (see that docstring). The caller owns its materialization
+    and disposal; the exploded table is then re-derived from the caller's
+    materialized blocks per consumer (codegen explode+hash over a block
+    scan) instead of being checkpointed a second time here."""
+    base = (
+        sets
+        if sets is not None
+        else shingle_sets(df, id_col, text_col, shingle_k=shingle_k)
+    )
     shingle = F.xxhash64(F.col("s")) if hash_shingles else F.col("s")
-    ex = sets.select("id", F.explode("sh").alias("s")).select(
+    ex = base.select("id", F.explode("sh").alias("s")).select(
         "id", shingle.alias("s")
     )
     # tokenize ONCE: every consumer below (hot-shingle count, both self-join
     # sides, set sizes) otherwise re-runs the interpreted HOF shingling over
     # the corpus — measured 4 full tokenization passes per query. Caller
     # disposes via cache.release(result) — see minhash_near_dup_pairs.
-    ex = (materialize or (lambda d: d.localCheckpoint(eager=False)))(ex)
+    # With caller-provided `sets` the upstream is already materialized, so
+    # the second checkpoint is skipped.
+    if sets is None:
+        ex = (materialize or (lambda d: d.localCheckpoint(eager=False)))(ex)
     if max_df is not None:
         hot = (
             ex.groupBy("s").agg(F.count("*").alias("_df")).where(F.col("_df") > max_df)

@@ -102,6 +102,37 @@ def test_minhash_identical_docs(spark):
     assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
 
 
+def test_shared_shingle_sets_seam(spark):
+    """The round-5 composition seam: minhash_near_dup_pairs and
+    ngram_jaccard_pairs (both candidate modes) fed one caller-materialized
+    shingle_sets table must return byte-identical rows to their standalone
+    (tokenize-internally) forms — the seam only removes a redundant
+    tokenization pass, never changes a value."""
+    df = _df(spark, [("base", BASE), ("near", NEAR), ("other", OTHER),
+                     ("dup", BASE), ("tail", NEAR + " with an extra tail")])
+    shared = X.shingle_sets(df).localCheckpoint(eager=False)
+
+    def rows(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows(X.minhash_near_dup_pairs(df, threshold=0.2, sets=shared)) == rows(
+        X.minhash_near_dup_pairs(df, threshold=0.2)
+    )
+    for cand in ("join", "prefix"):
+        for hashed in (False, True):
+            assert rows(
+                X.ngram_jaccard_pairs(
+                    df, threshold=0.2, max_df=10, hash_shingles=hashed,
+                    candidates=cand, sets=shared,
+                )
+            ) == rows(
+                X.ngram_jaccard_pairs(
+                    df, threshold=0.2, max_df=10, hash_shingles=hashed,
+                    candidates=cand,
+                )
+            )
+
+
 def test_simhash_properties(spark):
     df = _df(spark, [("a", BASE), ("b", BASE), ("near", NEAR), ("other", OTHER)])
     sh = {r["doc_id"]: r["s"] for r in df.select("doc_id", X.simhash(X.tokens("text")).alias("s")).collect()}
