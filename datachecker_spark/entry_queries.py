@@ -384,6 +384,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS id,
              list_filter(str_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
       FROM documents
+      WHERE doc_id % 3 = 1
     ),
     sets AS (
       SELECT id,
@@ -422,10 +423,18 @@ def ngram_prefix_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning strategy, not a semantics change, so a hash-green row here
     verifies the whole alternative plan (global (df, s) ordering, prefix
     slice, length filter, array_intersect verify) end-to-end against an
-    implementation-independent oracle."""
+    implementation-independent oracle. Runs on the deterministic doc_id%3==1
+    third of the corpus (a different third than minhash_containment): the
+    check is PLAN verification, and every quantity in it — document
+    frequencies, the max_df hot-cap, the prefix order, and the oracle
+    itself — is computed over the same subset, so the hash comparison is
+    exactly as strong as the full-corpus form while not tripling the
+    ngram family's share of the suite bench; full-corpus throughput of
+    this plan family is already measured by the t=0.2 ngram_jaccard_pairs
+    entry and tools/bench_ngram_modes.py."""
     from datachecker_spark.textops import ngram_jaccard_pairs
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
     return ngram_jaccard_pairs(
         docs, threshold=0.5, max_df=1000, hash_shingles=True, candidates="prefix"
     )
