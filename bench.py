@@ -99,6 +99,36 @@ def _warmup(spark, sf_dir: str, cores: int) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _host_calibration() -> dict[str, float]:
+    """Fixed-size single-threaded CPU + memory probes, recorded in the bench
+    JSON so a run can be normalized against the quiet-box reference when the
+    host is degraded. Motivation (2026-08-20): identical code+input measured
+    suite numbers 1.5-2x apart hours apart, with one pinned 16-core scaling
+    sample running BELOW the 4-core level — co-tenant CPU-steal on the
+    shared host, invisible to load average inside this VM. The CPU probe is
+    numpy elementwise transcendentals over an L3-resident array —
+    single-threaded by construction (unlike BLAS matmul) so it measures
+    per-core supply, not the thread pool. Reference values for THESE probes
+    on a healthy window (2026-08-20): cpu_sec ~0.04-0.06, stream_gbs
+    ~5.0-5.5; cpu_sec well above the reference marks the window degraded —
+    weigh the per-query numbers accordingly rather than as engine
+    regressions."""
+    import numpy as np
+
+    x = np.linspace(0.0, 8.0, 2_000_000)  # 16 MB, L3-resident
+    cpu = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (np.sin(x) * np.cos(x)).sum()
+        cpu = min(cpu, time.perf_counter() - t0)
+    buf = np.zeros(25_000_000, dtype="float64")  # 200 MB, far beyond L3
+    t0 = time.perf_counter()
+    for _ in range(3):
+        buf += 1.0
+    stream_gbs = (3 * 2 * buf.nbytes / (time.perf_counter() - t0)) / 1e9
+    return {"cpu_sec": round(cpu, 4), "stream_gbs": round(stream_gbs, 2)}
+
+
 def _timed(spark, fn) -> tuple[float, list[float]]:
     """best-of-2 seconds + raw samples: one sample can inherit a GC pause or
     co-tenant stall (round-1 bench showed a trivially-cheap query at 22.6s
@@ -125,6 +155,7 @@ def main() -> None:
 
     spark = get_spark(cores=cores, shuffle_partitions=max(cores, 8), app_name="bench")
 
+    calibration = _host_calibration()
     warmup_sec = _warmup(spark, sf_dir, cores)
 
     runners = _build_runners(spark, sf_dir)
@@ -183,6 +214,7 @@ def main() -> None:
                 "high_variance": variance,
                 "isolated": isolated,
                 "warmup_sec": warmup_sec,
+                "host_calibration": calibration,
             }
         )
     )
