@@ -85,6 +85,45 @@ def test_ngram_jaccard_prefix_filter_identical(spark):
     assert len(pairs(candidates="prefix", threshold=0.1)) > 10
 
 
+def test_ngram_jaccard_random_corpus_vs_python_oracle(spark):
+    """Seeded-random corpus vs an INDEPENDENT driver-side brute-force
+    oracle (pure-Python set Jaccard over all pairs): join==prefix
+    equivalence alone would miss a bug both paths inherit from a shared
+    upstream stage (tokenize/shingle/dedup), so this pins the whole
+    operator to a from-scratch implementation on a corpus with heavy
+    shingle sharing, tiny docs, and threshold-boundary pairs."""
+    import random
+
+    rng = random.Random(20260820)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (f"r{i}", " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(50)
+    ]
+    t = 0.3
+
+    def shset(text):
+        toks = text.split()
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    sets = {i: shset(tx) for i, tx in rows if shset(tx)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = round(inter / len(sets[a] | sets[b]), 6)
+                if j >= t:
+                    want[(a, b)] = j
+
+    df = _df(spark, rows)
+    for cand in ("join", "prefix"):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in X.ngram_jaccard_pairs(df, threshold=t, candidates=cand).collect()}
+        assert set(got) == set(want), cand
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in want), cand
+
+
 def test_minhash_near_dups(spark):
     df = _df(spark, [("base", BASE), ("near", NEAR), ("other", OTHER)])
     pairs = X.minhash_near_dup_pairs(df, threshold=0.6).collect()
