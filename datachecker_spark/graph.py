@@ -138,7 +138,10 @@ def connected_components(
     e = mat(e)
     prev: DataFrame | None = None
 
-    for _ in range(max_iterations):
+    # max_iterations + 1 iterations allow up to max_iterations star ROUNDS:
+    # convergence produced by round k is detected by the check at the top
+    # of iteration k+1, so the final round needs one extra checking pass.
+    for _ in range(max_iterations + 1):
         # Exact fixpoint test first — also the action that materializes the
         # current round's lazy checkpoint; only after it completes is the
         # PREVIOUS round's block set safe to release (e's checkpoint reads
