@@ -76,6 +76,15 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-Djava.net.preferIPv4Stack=true -XX:+UseParallelGC",
         )
+        # spark.sql.inMemoryColumnarStorage.compressed stays at the Spark
+        # default (true). The suite cache is mostly free text where the
+        # columnar dictionary probe is pure overhead (stored bytes measured
+        # +1.3% with compression off — the encodings were degenerating to
+        # PassThrough anyway), so disabling it looked like a win — but four
+        # interleaved A/B windows split 2-2 with swings larger than the
+        # candidate effect (tools/bench_cache_fill.py fill vs fill_nocomp;
+        # BASELINE.md cache-fill section). Not flipped on that evidence;
+        # re-measure on a quiet host before deciding.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

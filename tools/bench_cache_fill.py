@@ -44,14 +44,23 @@ def worker(cores: int, stage: str, docs_path: str) -> None:
     if "_mb" in stage:
         stage, mb_s = stage.split("_mb")
         mb = int(mb_s)
+    conf = {
+        "spark.sql.files.maxPartitionBytes": str(mb * 1024 * 1024),
+        "spark.sql.files.openCostInBytes": str(256 * 1024),
+    }
+    # fill_nocomp: skip the columnar cache's per-column compression-scheme
+    # probing (free text is incompressible by its encodings anyway);
+    # fill_bigbatch: 4x bigger CachedBatches (fewer builder growth/copy
+    # cycles and unroll reservations)
+    if stage == "fill_nocomp":
+        conf["spark.sql.inMemoryColumnarStorage.compressed"] = "false"
+    elif stage == "fill_bigbatch":
+        conf["spark.sql.inMemoryColumnarStorage.batchSize"] = "40000"
     spark = get_spark(
         cores=cores,
         shuffle_partitions=max(2 * cores, 8),
         app_name=f"fill-{cores}-{stage}",
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(mb * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(256 * 1024),
-        },
+        extra_conf=conf,
     )
     docs = spark.read.parquet(docs_path)
     # warmup: one full pass of the measured stage (C2 JIT), then measure
